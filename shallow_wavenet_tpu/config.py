@@ -1,0 +1,265 @@
+"""Config system: one dataclass tree, JSON serde, `key=value` CLI overrides.
+
+Replaces the reference's argparse-per-script + run.sh shell vars + per-recipe
+conf/ files (SURVEY.md §5.6, component C1). The five named presets mirror the
+five driver configs in BASELINE.json:7-11.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class ModelConfig:
+    """Shallow/deep WaveNet hyper-parameters (SURVEY.md §A.2, component C6).
+
+    shallow vs deep is purely a choice of (n_stacks, stack_size,
+    residual/skip widths) — SURVEY.md §A.2.
+    """
+
+    n_stacks: int = 2           # repeats of the dilation cycle
+    stack_size: int = 6         # dilations 1,2,4,...,2**(stack_size-1) per cycle
+    residual_channels: int = 64
+    gate_channels: int = 128    # split in two for tanh/sigmoid gates
+    skip_channels: int = 128
+    aux_channels: int = 80      # conditioning (log-mel) channels
+    kernel_size: int = 2        # causal dilated conv taps
+    head: str = "laplace"       # "softmax" (mu-law 256-way) | "laplace" (mu, log b)
+    quantize_channels: int = 256  # softmax head classes (8-bit mu-law)
+    upsample_factors: tuple[int, ...] = (4, 4, 4, 5)  # prod == hop_length
+    cond_channels: int = 64     # post-upsample conditioning width
+    compute_dtype: str = "bfloat16"  # MXU-friendly; params stay float32
+    log_b_min: float = -9.0     # Laplace scale clamp (SURVEY.md §A.3)
+    log_b_max: float = 3.0
+
+    @property
+    def dilations(self) -> tuple[int, ...]:
+        return tuple(
+            2 ** i for _ in range(self.n_stacks) for i in range(self.stack_size)
+        )
+
+    @property
+    def receptive_field(self) -> int:
+        # kernel 2: each layer adds its dilation to the receptive field
+        return 1 + sum(self.dilations) * (self.kernel_size - 1)
+
+
+@dataclass
+class DataConfig:
+    """Feature extraction + batching knobs (components C2, C10)."""
+
+    sample_rate: int = 24000
+    n_fft: int = 1024
+    hop_length: int = 320
+    win_length: int = 1024
+    n_mels: int = 80
+    fmin: float = 40.0
+    fmax: float = 8000.0
+    segment_length: int = 8000   # waveform samples per training crop
+    batch_size: int = 8          # per-process utterance segments
+    highpass_cutoff: float = 0.0
+
+
+@dataclass
+class NoiseShapeConfig:
+    """MLSA noise-shaping pre/de-emphasis (components C4, C5; SURVEY.md §A.4)."""
+
+    enabled: bool = False
+    mcep_order: int = 24
+    alpha: float = 0.466         # all-pass warping @24 kHz
+    mag: float = 0.5             # beta scaling of the averaged mcep
+    pade_order: int = 5
+
+
+@dataclass
+class TrainConfig:
+    """Trainer knobs (component C11)."""
+
+    steps: int = 200000
+    learning_rate: float = 1e-4
+    lr_decay_steps: int = 200000
+    lr_decay_rate: float = 0.5
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 10.0
+    checkpoint_every: int = 10000
+    keep_checkpoints: int = 5
+    log_every: int = 100
+    seed: int = 0
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh for data parallelism (SURVEY.md §2.2, §5.8).
+
+    The reference has no distributed backend; the rebuild's DP axis rides
+    ICI within a slice and DCN across hosts via XLA collectives.
+    """
+
+    data_axis: str = "data"
+    num_devices: int = 0         # 0 = all visible devices
+    multihost: bool = False      # call jax.distributed.initialize()
+
+
+@dataclass
+class Config:
+    name: str = "default"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    noise_shaping: NoiseShapeConfig = field(default_factory=NoiseShapeConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # ---- serde ----------------------------------------------------------
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        def build(tp, val):
+            if dataclasses.is_dataclass(tp) and isinstance(val, dict):
+                fields = {f.name: f for f in dataclasses.fields(tp)}
+                kwargs = {}
+                for k, v in val.items():
+                    if k not in fields:
+                        raise KeyError(f"unknown config key {tp.__name__}.{k}")
+                    ft = fields[k].type
+                    ft = _resolve_type(tp, ft)
+                    if dataclasses.is_dataclass(ft):
+                        kwargs[k] = build(ft, v)
+                    elif isinstance(v, list):
+                        kwargs[k] = tuple(v)
+                    else:
+                        kwargs[k] = v
+                return tp(**kwargs)
+            return val
+
+        return build(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    # ---- CLI overrides --------------------------------------------------
+    def apply_overrides(self, overrides: list[str]) -> "Config":
+        """Apply `section.key=value` overrides, e.g. `model.head=softmax`."""
+        d = self.to_dict()
+        for ov in overrides:
+            if "=" not in ov:
+                raise ValueError(f"override must be key=value, got {ov!r}")
+            key, _, raw = ov.partition("=")
+            parts = key.split(".")
+            node = d
+            for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"unknown config section {p!r} in {key!r}")
+                node = node[p]
+            leaf = parts[-1]
+            if leaf not in node:
+                raise KeyError(f"unknown config key {key!r}")
+            node[leaf] = _parse_value(raw, node[leaf])
+        return Config.from_dict(d)
+
+
+def _resolve_type(owner, ft):
+    """Dataclass field types may be strings under `from __future__ import annotations`."""
+    if isinstance(ft, str):
+        return globals().get(ft, str)
+    return ft
+
+
+def _parse_value(raw: str, current: Any) -> Any:
+    if isinstance(current, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, (tuple, list)):
+        return tuple(json.loads(raw))
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# Named presets — one per BASELINE.json config (lines 7-11).
+# ---------------------------------------------------------------------------
+
+def _preset_1() -> Config:
+    """Config 1: shallow, softmax mu-law, single-speaker copy-synthesis.
+
+    CPU-runnable PR1 reference — tiny dims, 16 kHz-ish synthetic corpus.
+    """
+    c = Config(name="shallow_softmax_single")
+    c.model = ModelConfig(
+        n_stacks=1, stack_size=6, residual_channels=32, gate_channels=64,
+        skip_channels=64, aux_channels=32, head="softmax",
+        upsample_factors=(4, 4, 5), cond_channels=32,
+        compute_dtype="float32",
+    )
+    c.data = DataConfig(
+        sample_rate=16000, n_fft=512, hop_length=80, win_length=400,
+        n_mels=32, fmax=7600.0, segment_length=4000, batch_size=4,
+    )
+    c.train = TrainConfig(steps=2000, learning_rate=4e-4,
+                          checkpoint_every=500, log_every=50)
+    return c
+
+
+def _preset_2() -> Config:
+    """Config 2: shallow, Laplacian head, single speaker, 24 kHz."""
+    c = Config(name="shallow_laplace_single")
+    c.model = ModelConfig(head="laplace")
+    return c
+
+
+def _preset_3() -> Config:
+    """Config 3: Laplacian head + data-driven MLSA noise shaping."""
+    c = _preset_2()
+    c.name = "shallow_laplace_ns"
+    c.noise_shaping = NoiseShapeConfig(enabled=True)
+    return c
+
+
+def _preset_4() -> Config:
+    """Config 4: multi-speaker, data-parallel over a v5e-8 host."""
+    c = _preset_3()
+    c.name = "multispk_dp"
+    c.data.batch_size = 8  # per device
+    c.mesh = MeshConfig(num_devices=0)
+    return c
+
+
+def _preset_5() -> Config:
+    """Config 5: deep baseline (full-depth stack), N>=2 hosts."""
+    c = Config(name="deep_baseline")
+    c.model = ModelConfig(
+        n_stacks=3, stack_size=10, residual_channels=128, gate_channels=256,
+        skip_channels=256, head="laplace",
+    )
+    c.noise_shaping = NoiseShapeConfig(enabled=True)
+    c.mesh = MeshConfig(multihost=True)
+    return c
+
+
+PRESETS = {
+    "shallow_softmax_single": _preset_1,
+    "shallow_laplace_single": _preset_2,
+    "shallow_laplace_ns": _preset_3,
+    "multispk_dp": _preset_4,
+    "deep_baseline": _preset_5,
+}
+
+
+def get_config(name: str, overrides: list[str] | None = None) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    cfg = PRESETS[name]()
+    if overrides:
+        cfg = cfg.apply_overrides(overrides)
+    return cfg

@@ -1,0 +1,141 @@
+"""File lists + receptive-field-aware segment batching (component C10).
+
+Training batches are random fixed-length segments with left context equal to
+the (hop-rounded) receptive field — SURVEY.md §5.7's long-context mechanism
+(a). All shapes are static so the jitted train step never retraces.
+
+Batch layout (B = batch, L = segment_length, R = hop-rounded receptive field,
+H = hop_length, F = n_mels):
+  x:    (B, R + L)   float32 waveform; the model sees x[:, :-1] and the
+                      teacher target is x[:, 1:], loss on the last L steps
+  cond: (B, (R + L)//H, F) normalized frame features aligned to x
+  spk:  (B,) int32 speaker ids (multi-speaker lists, BASELINE config 4)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from shallow_wavenet_tpu.data.audio_io import read_wav
+from shallow_wavenet_tpu.data.hdf5_io import read_hdf5
+
+
+def read_file_list(path: str | Path) -> list[str]:
+    """One path (or `id path`) per line; '#' comments and blanks skipped."""
+    out = []
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        out.append(line.split()[-1])
+    return out
+
+
+def shard_list(items: list, process_index: int, process_count: int) -> list:
+    """Static per-process shard of a file list (multi-host data loading,
+    SURVEY.md §5.8 — each host reads only its own utterances)."""
+    return items[process_index::process_count]
+
+
+@dataclass
+class Utterance:
+    wav: np.ndarray          # (T,) float32
+    feats: np.ndarray        # (F_frames, n_mels) float32, already normalized
+    speaker: int = 0
+
+
+def load_utterance(wav_path: str, feat_path: str, feat_key: str = "feats",
+                   stats: tuple[np.ndarray, np.ndarray] | None = None,
+                   speaker: int = 0) -> Utterance:
+    wav, _sr = read_wav(wav_path)
+    feats = read_hdf5(feat_path, feat_key).astype(np.float32)
+    if stats is not None:
+        mean, std = stats
+        feats = (feats - mean) / np.maximum(std, 1e-8)
+    return Utterance(wav=wav.astype(np.float32), feats=feats, speaker=speaker)
+
+
+class SegmentSampler:
+    """Infinite iterator of training batches of random segments.
+
+    Each draw picks an utterance, then a random frame-aligned segment of
+    `segment_length` samples, and packs `pad_frames` of left context
+    (zero/edge padded where the segment starts near t=0).
+    """
+
+    def __init__(self, utterances: list[Utterance], *, batch_size: int,
+                 segment_length: int, hop_length: int, receptive_field: int,
+                 seed: int = 0):
+        if segment_length % hop_length != 0:
+            raise ValueError("segment_length must be a multiple of hop_length")
+        self.utts = utterances
+        self.batch = batch_size
+        self.seg = segment_length
+        self.hop = hop_length
+        # left context, rounded up to whole frames so cond stays frame-aligned
+        self.pad_frames = -(-receptive_field // hop_length)
+        self.pad = self.pad_frames * hop_length
+        self.rng = np.random.default_rng(seed)
+        self.min_frames = segment_length // hop_length
+        usable = [u for u in self.utts
+                  if u.feats.shape[0] >= self.min_frames]
+        if not usable:
+            raise ValueError("no utterance long enough for segment_length")
+        self.utts = usable
+
+    def state(self) -> dict:
+        """Serializable iterator state for checkpoint/resume (SURVEY.md §5.4)."""
+        return {"bit_generator_state": self.rng.bit_generator.state}
+
+    def set_state(self, state: dict) -> None:
+        self.rng.bit_generator.state = state["bit_generator_state"]
+
+    def _draw_one(self):
+        u = self.utts[self.rng.integers(len(self.utts))]
+        n_frames = u.feats.shape[0]
+        seg_frames = self.seg // self.hop
+        f0 = int(self.rng.integers(0, n_frames - seg_frames + 1))
+        s0 = f0 * self.hop
+        total = self.pad + self.seg
+        # waveform with left context (zeros before utterance start)
+        x = np.zeros(total, dtype=np.float32)
+        src_lo = max(0, s0 - self.pad)
+        dst_lo = self.pad - (s0 - src_lo)
+        seg_hi = min(len(u.wav), s0 + self.seg)
+        x[dst_lo:dst_lo + (seg_hi - src_lo)] = u.wav[src_lo:seg_hi]
+        # conditioning frames with edge replication on the left
+        c = np.empty((self.pad_frames + seg_frames, u.feats.shape[1]),
+                     dtype=np.float32)
+        cf_lo = f0 - self.pad_frames
+        for i in range(self.pad_frames + seg_frames):
+            c[i] = u.feats[min(max(cf_lo + i, 0), n_frames - 1)]
+        return x, c, u.speaker
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> dict[str, np.ndarray]:
+        xs, cs, spks = zip(*(self._draw_one() for _ in range(self.batch)))
+        return {
+            "x": np.stack(xs),
+            "cond": np.stack(cs),
+            "speaker": np.asarray(spks, dtype=np.int32),
+        }
+
+
+def pad_batch_for_decode(utts: list[Utterance], hop_length: int
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pack utterances for batched AR generation (component C8): pad cond
+    frames to the max length. Returns (cond (B,Fmax,n_mels), n_frames (B,),
+    n_samples (B,))."""
+    fmax = max(u.feats.shape[0] for u in utts)
+    nm = utts[0].feats.shape[1]
+    cond = np.zeros((len(utts), fmax, nm), dtype=np.float32)
+    nf = np.zeros(len(utts), dtype=np.int32)
+    for i, u in enumerate(utts):
+        cond[i, : u.feats.shape[0]] = u.feats
+        nf[i] = u.feats.shape[0]
+    return cond, nf, nf * hop_length
