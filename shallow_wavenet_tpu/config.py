@@ -32,6 +32,7 @@ class ModelConfig:
     quantize_channels: int = 256  # softmax head classes (8-bit mu-law)
     upsample_factors: tuple[int, ...] = (4, 4, 4, 5)  # prod == hop_length
     cond_channels: int = 64     # post-upsample conditioning width
+    n_speakers: int = 0         # >0 adds a speaker embedding to conditioning
     compute_dtype: str = "bfloat16"  # MXU-friendly; params stay float32
     log_b_min: float = -9.0     # Laplace scale clamp (SURVEY.md §A.3)
     log_b_max: float = 3.0
