@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
-@dataclass
+@dataclass(frozen=True)
 class ModelConfig:
     """Shallow/deep WaveNet hyper-parameters (SURVEY.md §A.2, component C6).
 
@@ -49,7 +49,7 @@ class ModelConfig:
         return 1 + sum(self.dilations) * (self.kernel_size - 1)
 
 
-@dataclass
+@dataclass(frozen=True)
 class DataConfig:
     """Feature extraction + batching knobs (components C2, C10)."""
 
@@ -65,7 +65,7 @@ class DataConfig:
     highpass_cutoff: float = 0.0
 
 
-@dataclass
+@dataclass(frozen=True)
 class NoiseShapeConfig:
     """MLSA noise-shaping pre/de-emphasis (components C4, C5; SURVEY.md §A.4)."""
 
@@ -76,7 +76,7 @@ class NoiseShapeConfig:
     pade_order: int = 5
 
 
-@dataclass
+@dataclass(frozen=True)
 class TrainConfig:
     """Trainer knobs (component C11)."""
 
@@ -92,7 +92,7 @@ class TrainConfig:
     seed: int = 0
 
 
-@dataclass
+@dataclass(frozen=True)
 class MeshConfig:
     """Device mesh for data parallelism (SURVEY.md §2.2, §5.8).
 

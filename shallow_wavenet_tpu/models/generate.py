@@ -1,0 +1,145 @@
+"""Autoregressive generation (component C8; SURVEY.md §A.6, §3.4).
+
+Two paths over the same weights:
+
+- `generate_fast`: fast-WaveNet queue caching [P: arXiv 1611.09482] as a
+  single `lax.scan` over output samples. Per-layer ring buffers hold each
+  layer's past inputs; per sample the work is O(layers) small matmuls.
+  One compiled XLA program for the entire utterance batch — this is the
+  correct-but-not-yet-Pallas path (the VMEM-persistent Pallas kernel in
+  ops/ar_kernel.py is the speed-of-light version of exactly this step
+  function).
+- `generate_naive`: re-runs the teacher-forced stack on the full prefix for
+  every sample — O(T * layers * T) — used only as the equivalence oracle
+  (the two are mathematically identical; test §4.2).
+
+Sampling modes: "sample" (per-step fold_in key; categorical or Laplace
+inverse CDF) and "greedy" (argmax / mu) for deterministic comparisons.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shallow_wavenet_tpu.config import ModelConfig
+from shallow_wavenet_tpu.models import heads
+from shallow_wavenet_tpu.ops.mulaw import mulaw_dequantize, mulaw_quantize
+
+
+def seed_feedback(cfg: ModelConfig):
+    """Initial x_prev for t=0 (silence)."""
+    if cfg.head == "softmax":
+        return mulaw_quantize(jnp.float32(0.0), cfg.quantize_channels)
+    return jnp.float32(0.0)
+
+
+def _input_encode(pp, cfg: ModelConfig, x_prev):
+    if cfg.head == "softmax":
+        return pp["input_embed"][x_prev]          # (B, R)
+    return x_prev[:, None] @ pp["input_w"] + pp["input_b"]
+
+
+def _head_out(pp, skip):
+    out = jax.nn.relu(skip)
+    out = jax.nn.relu(out @ pp["head1_w"] + pp["head1_b"])
+    return out @ pp["head2_w"] + pp["head2_b"]    # (B, O)
+
+
+def _sample(cfg: ModelConfig, out, key, mode):
+    """Returns (feedback, waveform_sample)."""
+    if cfg.head == "softmax":
+        ids = (jnp.argmax(out, axis=-1).astype(jnp.int32) if mode == "greedy"
+               else heads.sample_softmax(out, key))
+        return ids, mulaw_dequantize(ids, cfg.quantize_channels)
+    if mode == "greedy":
+        x = out[..., 0]
+    else:
+        x = heads.sample_laplace(out, key, cfg.log_b_min, cfg.log_b_max)
+    x = jnp.clip(x, -1.0, 1.0)
+    return x, x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mode"))
+def generate_fast(pp: dict, cfg: ModelConfig, c_up, key, mode: str = "sample"):
+    """Queue-cached AR generation.
+
+    pp    : plain params from extract_plain_params (fp32)
+    c_up  : (B, T, C) sample-rate conditioning (from WaveNet.upsample_cond)
+    key   : PRNG key; per-step keys are fold_in(key, t)
+    Returns waveform (B, T) float32.
+    """
+    B, T, _ = c_up.shape
+    dil = jnp.asarray(cfg.dilations, jnp.int32)
+    L = len(cfg.dilations)
+    D = int(max(cfg.dilations))
+    R = cfg.residual_channels
+    half = cfg.gate_channels // 2
+
+    bufs0 = jnp.zeros((L, B, D, R), jnp.float32)
+    x0 = jnp.broadcast_to(seed_feedback(cfg), (B,)).astype(
+        jnp.int32 if cfg.head == "softmax" else jnp.float32
+    )
+
+    def step(carry, t):
+        bufs, x_prev = carry
+        c_t = jax.lax.dynamic_index_in_dim(c_up, t, axis=1, keepdims=False)
+        h = _input_encode(pp, cfg, x_prev)
+
+        def layer_fn(acc, xs):
+            h, skip = acc
+            cw, cb, vw, rw, rb, sw, sb, d, buf = xs
+            r_idx = jnp.mod(t - d, D)
+            h_prev = jax.lax.dynamic_index_in_dim(buf, r_idx, axis=1,
+                                                  keepdims=False)
+            # same accumulation order as CausalDilatedConv + ResidualBlock
+            u = ((h_prev @ cw[0] + h @ cw[1]) + cb) + c_t @ vw
+            z = jnp.tanh(u[:, :half]) * jax.nn.sigmoid(u[:, half:])
+            buf = jax.lax.dynamic_update_index_in_dim(buf, h, jnp.mod(t, D),
+                                                      axis=1)
+            h_new = h + (z @ rw + rb)
+            skip = skip + (z @ sw + sb)
+            return (h_new, skip), buf
+
+        # conv_w is (L, k=2, R, G); tap 0 = x[t-d], tap 1 = x[t]
+        xs = (pp["conv_w"], pp["conv_b"], pp["cond_w"], pp["res_w"],
+              pp["res_b"], pp["skip_w"], pp["skip_b"], dil, bufs)
+        (h, skip), bufs = jax.lax.scan(
+            layer_fn,
+            (h, jnp.zeros((B, cfg.skip_channels), jnp.float32)),
+            xs,
+        )
+        out = _head_out(pp, skip)
+        fb, x_t = _sample(cfg, out, jax.random.fold_in(key, t), mode)
+        return (bufs, fb), x_t
+
+    (_, _), wav = jax.lax.scan(step, (bufs0, x0), jnp.arange(T))
+    return jnp.transpose(wav, (1, 0))             # (B, T)
+
+
+def generate_naive(model, variables, cfg: ModelConfig, c_up, key,
+                   mode: str = "sample"):
+    """Equivalence oracle: per sample, recompute the teacher-forced stack on
+    the whole (fixed-size) prefix and read position t. O(T^2) — tests only."""
+    B, T, _ = c_up.shape
+    if cfg.head == "softmax":
+        x_seq = np.full((B, T), int(seed_feedback(cfg)), np.int32)
+    else:
+        x_seq = np.zeros((B, T), np.float32)
+
+    @jax.jit
+    def full(x_prev_seq):
+        return model.apply(variables, x_prev_seq, c_up[:, :T],
+                           method="stack")
+
+    wav = np.zeros((B, T), np.float32)
+    for t in range(T):
+        out = full(jnp.asarray(x_seq))[:, t]
+        fb, x_t = _sample(cfg, out, jax.random.fold_in(key, t), mode)
+        wav[:, t] = np.asarray(x_t)
+        if t + 1 < T:
+            x_seq[:, t + 1] = np.asarray(fb)
+    return jnp.asarray(wav)
