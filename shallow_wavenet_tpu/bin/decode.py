@@ -1,0 +1,112 @@
+"""Decoding CLI — batched AR generation (component C8; reference
+`src/bin/decode.py`, call stack SURVEY.md §3.4).
+
+Copy-synthesis: extracts features from the eval wavs (or reads them from
+--feats-dir), normalizes with the training stats, generates with the fast
+queue-cached path (Pallas kernel when on TPU, lax.scan otherwise), trims to
+each utterance's true length and writes wavs. Reports audio-seconds/s and
+RTF — the primary metric of BASELINE.json:2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+from shallow_wavenet_tpu.bin.common import (
+    add_config_args, load_utterances, resolve_config, setup_logging,
+)
+from shallow_wavenet_tpu.config import Config
+from shallow_wavenet_tpu.data.audio_io import write_wav
+from shallow_wavenet_tpu.data.dataset import pad_batch_for_decode, read_file_list
+
+log = logging.getLogger("decode")
+
+
+def load_model_state(cfg: Config, workdir: str):
+    """Restore trained params from --workdir's latest checkpoint."""
+    from shallow_wavenet_tpu.training import Trainer
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    state, _, step = trainer.restore(workdir, state)
+    if step == 0:
+        log.warning("no checkpoint found in %s — decoding with random init",
+                    workdir)
+    return trainer, state, step
+
+
+def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None):
+    """Generate one padded batch; returns list of trimmed waveforms."""
+    import jax
+    import jax.numpy as jnp
+    from shallow_wavenet_tpu.models import extract_plain_params
+    from shallow_wavenet_tpu.models.generate import generate_fast
+
+    cond, n_frames, n_samples = pad_batch_for_decode(utts, cfg.data.hop_length)
+    variables = {"params": state.params}
+    spk = (jnp.asarray([u.speaker for u in utts], jnp.int32)
+           if cfg.model.n_speakers > 0 else None)
+    c_up = trainer.model.apply(variables, jnp.asarray(cond), spk,
+                               method="upsample_cond")
+    pp = extract_plain_params(variables, cfg.model)
+    wav = np.asarray(generate_fast(pp, cfg.model, c_up, key))
+    return [wav[i, : n_samples[i]] for i in range(len(utts))]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--eval-scp", required=True)
+    p.add_argument("--feats-dir", required=True)
+    p.add_argument("--stats", default=None)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    add_config_args(p)
+    args = p.parse_args(argv)
+    setup_logging()
+    cfg = resolve_config(args)
+
+    import jax
+
+    utts = load_utterances(args.eval_scp, args.feats_dir, args.stats)
+    paths = read_file_list(args.eval_scp)
+    trainer, state, step = load_model_state(cfg, args.workdir)
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    total_audio_s, total_wall = 0.0, 0.0
+    key = jax.random.key(args.seed)
+    for i in range(0, len(utts), args.batch_size):
+        chunk = utts[i : i + args.batch_size]
+        t0 = time.time()
+        wavs = decode_batch(trainer, state, cfg, chunk,
+                            jax.random.fold_in(key, i))
+        wall = time.time() - t0
+        audio_s = sum(len(w) for w in wavs) / cfg.data.sample_rate
+        total_audio_s += audio_s
+        total_wall += wall
+        for u_path, w in zip(paths[i : i + args.batch_size], wavs):
+            out = outdir / Path(u_path).name
+            write_wav(out, w, cfg.data.sample_rate)
+        log.info("batch %d: %.2f audio-s in %.2f s (RTF %.3f)",
+                 i // args.batch_size, audio_s, wall, wall / max(audio_s, 1e-9))
+
+    rtf = total_wall / max(total_audio_s, 1e-9)
+    summary = {
+        "utterances": len(utts), "model_step": step,
+        "audio_seconds": total_audio_s, "wall_seconds": total_wall,
+        "rtf": rtf, "audio_seconds_per_s": total_audio_s / max(total_wall, 1e-9),
+    }
+    (outdir / "decode_summary.json").write_text(json.dumps(summary, indent=2))
+    log.info("decode: %s", summary)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Feature extraction CLI (component C2; reference `src/bin/feature_extract.py`,
+unmountable — SURVEY.md §0/§3.2).
+
+wav scp -> per-utterance HDF5 with dataset 'feats' (log-mel, (T//hop, n_mels)).
+Frames are trimmed to exactly T//hop so waveform and features stay aligned
+sample-for-frame (the centered STFT otherwise yields one extra frame).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from shallow_wavenet_tpu.bin.common import (
+    add_config_args, feats_path_for, resolve_config, setup_logging,
+)
+from shallow_wavenet_tpu.data.audio_io import read_wav
+from shallow_wavenet_tpu.data.dataset import read_file_list
+from shallow_wavenet_tpu.data.hdf5_io import write_hdf5
+
+log = logging.getLogger("feature_extract")
+
+
+def extract_one(wav_path: str, cfg) -> np.ndarray:
+    import jax.numpy as jnp
+    from shallow_wavenet_tpu.ops import log_mel_spectrogram
+
+    wav, sr = read_wav(wav_path)
+    if sr != cfg.data.sample_rate:
+        raise ValueError(
+            f"{wav_path}: sample rate {sr} != config {cfg.data.sample_rate}"
+        )
+    mel = log_mel_spectrogram(
+        jnp.asarray(wav), sr, cfg.data.n_fft, cfg.data.hop_length,
+        cfg.data.win_length, cfg.data.n_mels, cfg.data.fmin, cfg.data.fmax,
+    )
+    return np.asarray(mel)[: len(wav) // cfg.data.hop_length]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--wav-scp", required=True)
+    p.add_argument("--outdir", required=True)
+    add_config_args(p)
+    args = p.parse_args(argv)
+    setup_logging()
+    cfg = resolve_config(args)
+
+    paths = read_file_list(args.wav_scp)
+    Path(args.outdir).mkdir(parents=True, exist_ok=True)
+    for wp in paths:
+        feats = extract_one(wp, cfg)
+        write_hdf5(feats_path_for(wp, args.outdir), "feats", feats)
+        log.info("%s -> %s %s", wp, feats_path_for(wp, args.outdir), feats.shape)
+    log.info("extracted %d utterances", len(paths))
+
+
+if __name__ == "__main__":
+    main()

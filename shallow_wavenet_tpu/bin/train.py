@@ -1,0 +1,60 @@
+"""Training CLI (component C11; reference `src/bin/train.py`, call stack
+SURVEY.md §3.3). Resumes automatically from the latest checkpoint in
+--workdir. Data-parallel over all visible devices when the preset's mesh
+config asks for it (SURVEY.md §5.8)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from shallow_wavenet_tpu.bin.common import (
+    add_config_args, load_utterances, resolve_config, setup_logging,
+)
+from shallow_wavenet_tpu.data.dataset import SegmentSampler
+
+log = logging.getLogger("train")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train-scp", required=True)
+    p.add_argument("--feats-dir", required=True)
+    p.add_argument("--stats", default=None)
+    p.add_argument("--waveform-dir", default=None,
+                   help="noise-shaped training waveforms (stage 3 output)")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--steps", type=int, default=None)
+    add_config_args(p)
+    args = p.parse_args(argv)
+    setup_logging()
+    cfg = resolve_config(args)
+
+    from shallow_wavenet_tpu.parallel.mesh import make_mesh, process_shard
+    from shallow_wavenet_tpu.training import Trainer
+
+    mesh = make_mesh(cfg.mesh)
+    utts = load_utterances(args.train_scp, args.feats_dir, args.stats,
+                           args.waveform_dir)
+    utts = process_shard(utts)
+    log.info("loaded %d utterances (this process)", len(utts))
+
+    global_batch = cfg.data.batch_size * (mesh.size if mesh is not None else 1)
+    sampler = SegmentSampler(
+        utts, batch_size=global_batch,
+        segment_length=cfg.data.segment_length,
+        hop_length=cfg.data.hop_length,
+        receptive_field=cfg.model.receptive_field,
+        seed=cfg.train.seed,
+    )
+
+    trainer = Trainer(cfg, mesh)
+    state = trainer.init_state()
+    state, sampler_state, start = trainer.restore(args.workdir, state)
+    if sampler_state is not None:
+        sampler.set_state(sampler_state)
+    trainer.fit(state, sampler, args.workdir, steps=args.steps)
+
+
+if __name__ == "__main__":
+    main()

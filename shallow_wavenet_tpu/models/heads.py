@@ -29,7 +29,8 @@ def laplace_loss(out, target, log_b_min=-9.0, log_b_max=3.0, mask=None):
 def _masked_mean(x, mask):
     if mask is None:
         return jnp.mean(x)
-    mask = mask.astype(x.dtype)
+    # broadcast first so a (1, T) mask counts every batch row it covers
+    mask = jnp.broadcast_to(mask.astype(x.dtype), x.shape)
     return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 

@@ -72,11 +72,12 @@ class Dense1x1(nn.Module):
     features: int
     dtype: Any = jnp.float32
     use_bias: bool = True
+    kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x):
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+            "kernel", self.kernel_init, (x.shape[-1], self.features)
         )
         y = jnp.einsum(
             "btc,cf->btf",
@@ -185,7 +186,11 @@ class WaveNet(nn.Module):
         ]
         self.head1 = Dense1x1(cfg.skip_channels, dtype=dt)
         out_dim = cfg.quantize_channels if cfg.head == "softmax" else 2
-        self.head2 = Dense1x1(out_dim, dtype=jnp.float32)
+        # zero-init final head: CE starts exactly at ln(Q), Laplace NLL at
+        # ln(2) + E|x| — avoids the large-logit init from the unnormalized
+        # skip sum over many layers
+        self.head2 = Dense1x1(out_dim, dtype=jnp.float32,
+                              kernel_init=nn.initializers.zeros)
 
     def __call__(self, x_prev, cond, speaker=None):
         cfg = self.cfg

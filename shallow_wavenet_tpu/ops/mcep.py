@@ -1,0 +1,104 @@
+"""Mel-cepstrum analysis + MCD, SPTK-free (SURVEY.md §A.5, component C13
+replacement per §2.3).
+
+Pipeline per frame: windowed rFFT -> log|X| -> IFFT to real cepstrum ->
+minimum-phase doubling -> frequency warp to the mel axis via the `freqt`
+recursion. freqt is linear, so it is materialized once as a dense
+(m1+1, m2+1) warping matrix (numpy, cached) and applied as a single matmul
+— the TPU-idiomatic form of SPTK's per-frame C recursion.
+
+Conventions (consistent across analysis, MLSA shaping and MCD):
+- mcep m satisfies log|H(w)| = Re sum_m m_k e^{-i k beta(w)} with beta the
+  all-pass warped phase; i.e. coefficients are the minimum-phase ("doubled")
+  cepstrum, the same convention SPTK's mlsadf/mgc2sp use.
+- MCD(dB) = (10/ln10) * sqrt(2 * sum_{m>=1} (dc_m)^2), frame-averaged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from shallow_wavenet_tpu.ops.stft import frame_signal
+
+
+@functools.lru_cache(maxsize=8)
+def freqt_matrix(m1: int, m2: int, alpha: float) -> np.ndarray:
+    """Dense matrix W (m1+1, m2+1): warped = cep @ W.
+
+    Rows are freqt applied to unit cepstra. The recursion (per input
+    coefficient, highest first) is the Oppenheim-Johnson frequency
+    transform used by SPTK's freqt:
+      g_new[0] = c1[i] + a*g[0]
+      g_new[1] = (1-a^2)*g[0] + a*g[1]
+      g_new[j] = g[j-1] + a*(g[j] - g_new[j-1])
+    """
+    b = 1.0 - alpha * alpha
+    w = np.zeros((m1 + 1, m2 + 1), dtype=np.float64)
+    for row in range(m1 + 1):
+        c1 = np.zeros(m1 + 1)
+        c1[row] = 1.0
+        g = np.zeros(m2 + 1)
+        for i in range(m1, -1, -1):
+            gn = np.empty_like(g)
+            gn[0] = c1[i] + alpha * g[0]
+            if m2 >= 1:
+                gn[1] = b * g[0] + alpha * g[1]
+            for j in range(2, m2 + 1):
+                gn[j] = g[j - 1] + alpha * (g[j] - gn[j - 1])
+            g = gn
+        w[row] = g
+    return w.astype(np.float32)
+
+
+def spectrum_to_mcep(log_mag, order: int, alpha: float):
+    """(..., n_bins) natural-log magnitude spectrum -> (..., order+1) mcep."""
+    n_bins = log_mag.shape[-1]
+    n_fft = 2 * (n_bins - 1)
+    cep = jnp.fft.irfft(log_mag, n=n_fft, axis=-1)
+    m1 = n_fft // 2
+    # minimum-phase doubling: h0 = c0, hk = 2 ck (k >= 1)
+    h = cep[..., : m1 + 1] * 2.0
+    h = h.at[..., 0].multiply(0.5)
+    w = jnp.asarray(freqt_matrix(m1, order, float(alpha)))
+    return h @ w
+
+
+def mcep_analysis(x, n_fft: int, hop_length: int, win_length: int,
+                  order: int, alpha: float, eps: float = 1e-8):
+    """Waveform (..., T) -> mcep (..., n_frames, order+1)."""
+    frames = frame_signal(x, win_length, hop_length, center=True)
+    win = jnp.asarray(np.hanning(win_length + 1)[:-1].astype(np.float32))
+    frames = frames * win
+    if win_length < n_fft:
+        pad = n_fft - win_length
+        frames = jnp.pad(
+            frames, [(0, 0)] * (frames.ndim - 1) + [(pad // 2, pad - pad // 2)]
+        )
+    mag = jnp.abs(jnp.fft.rfft(frames, n=n_fft, axis=-1))
+    return spectrum_to_mcep(jnp.log(jnp.maximum(mag, eps)), order, alpha)
+
+
+def mcep_to_log_spectrum(mc, n_fft: int, alpha: float):
+    """mcep (..., M+1) -> natural-log magnitude (..., n_fft//2+1) on the
+    linear frequency axis (inverse warp via freqt with -alpha)."""
+    order = mc.shape[-1] - 1
+    m1 = n_fft // 2
+    w = jnp.asarray(freqt_matrix(order, m1, -float(alpha)))
+    h = mc @ w
+    # evaluate Re sum_k h_k e^{-ikw} on the rFFT grid (zero-pad to n_fft)
+    return jnp.fft.rfft(h, n=n_fft, axis=-1).real
+
+
+def mcd(mc_ref, mc_gen, exclude_c0: bool = True):
+    """Mel-cepstral distortion in dB between aligned (T, M+1) tracks."""
+    t = min(mc_ref.shape[-2], mc_gen.shape[-2])
+    d = mc_ref[..., :t, :] - mc_gen[..., :t, :]
+    if exclude_c0:
+        d = d[..., 1:]
+    per_frame = (10.0 / np.log(10.0)) * jnp.sqrt(
+        2.0 * jnp.sum(d * d, axis=-1)
+    )
+    return jnp.mean(per_frame)

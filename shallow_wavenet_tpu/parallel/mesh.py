@@ -1,0 +1,61 @@
+"""Mesh construction + per-process data sharding (SURVEY.md §5.8).
+
+Mesh axes: ('data',) only — the model is 1-10M params, so TP/PP/SP are
+explicitly out of scope (SURVEY.md §2.2); scaling is DP over utterance
+batches. Gradients all-reduce via XLA-inserted psum riding ICI within a
+slice and DCN across hosts. Multi-host: `jax.distributed.initialize()` per
+host, per-process file-list sharding keyed by `jax.process_index()`.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from shallow_wavenet_tpu.config import MeshConfig
+
+log = logging.getLogger(__name__)
+
+_DISTRIBUTED_INITIALIZED = False
+
+
+def make_mesh(cfg: MeshConfig | None = None) -> Mesh:
+    """1-D data-parallel mesh over the visible devices.
+
+    With multihost=True, initializes jax.distributed first (coordinator
+    address etc. from the standard env vars / TPU metadata); the mesh then
+    spans all processes' devices.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    cfg = cfg or MeshConfig()
+    if cfg.multihost and not _DISTRIBUTED_INITIALIZED:
+        try:
+            jax.distributed.initialize()
+            _DISTRIBUTED_INITIALIZED = True
+            log.info("jax.distributed initialized: process %d/%d",
+                     jax.process_index(), jax.process_count())
+        except Exception as e:  # single-process run of a multihost preset
+            log.warning("jax.distributed.initialize failed (%s); "
+                        "continuing single-process", e)
+    devices = np.asarray(jax.devices())
+    if cfg.num_devices > 0:
+        devices = devices[: cfg.num_devices]
+    return Mesh(devices, (cfg.data_axis,))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def process_shard(items: list) -> list:
+    """Static shard of a host-side list for this process (multi-host data
+    loading: each host reads only its own utterances)."""
+    return items[jax.process_index() :: jax.process_count()]

@@ -1,0 +1,260 @@
+"""Teacher-forced training loop (component C11; call stack SURVEY.md §3.3).
+
+TPU-first notes:
+- One jitted train step over the whole (B, R+L) segment batch; the dilated
+  conv stack is a single fused XLA program (hot loop of §3.3).
+- Data parallelism is expressed with NamedSharding over a 1-D ('data',)
+  mesh: batch sharded on the data axis, params/opt state replicated. Under
+  jit, XLA inserts the gradient all-reduce (psum) over ICI/DCN itself —
+  this is the TPU-native equivalent of the reference's (absent) NCCL path
+  (SURVEY.md §2.2, §5.8). Single-device runs use the same code with a
+  1-device mesh.
+- Checkpoint/resume via Orbax: params, opt state, step, RNG key, and the
+  data-iterator state (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import orbax.checkpoint as ocp
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from shallow_wavenet_tpu.config import Config
+from shallow_wavenet_tpu.models import WaveNet, heads
+from shallow_wavenet_tpu.ops.mulaw import mulaw_quantize
+
+log = logging.getLogger(__name__)
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+
+class Trainer:
+    def __init__(self, cfg: Config, mesh: Mesh | None = None):
+        self.cfg = cfg
+        self.model = WaveNet(cfg.model)
+        self.mesh = mesh
+        sched = optax.exponential_decay(
+            cfg.train.learning_rate,
+            transition_steps=cfg.train.lr_decay_steps,
+            decay_rate=cfg.train.lr_decay_rate,
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.train.grad_clip_norm),
+            optax.adamw(sched, weight_decay=cfg.train.weight_decay)
+            if cfg.train.weight_decay > 0
+            else optax.adam(sched),
+        )
+        self._jit_step = None
+
+    # ---- init ------------------------------------------------------------
+    def init_state(self, seed: int | None = None) -> TrainState:
+        cfg = self.cfg
+        seed = cfg.train.seed if seed is None else seed
+        rf = cfg.model.receptive_field
+        hop = cfg.data.hop_length
+        pad = -(-rf // hop) * hop
+        t_total = pad + cfg.data.segment_length
+        b = cfg.data.batch_size
+        if cfg.model.head == "softmax":
+            x = jnp.zeros((b, t_total - 1), jnp.int32)
+        else:
+            x = jnp.zeros((b, t_total - 1), jnp.float32)
+        c = jnp.zeros((b, t_total // hop, cfg.model.aux_channels), jnp.float32)
+        spk = jnp.zeros((b,), jnp.int32) if cfg.model.n_speakers > 0 else None
+        variables = self.model.init(jax.random.key(seed), x, c, spk)
+        params = variables["params"]
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        log.info("model %s: %.2fM params, receptive field %d samples",
+                 cfg.name, n_params / 1e6, rf)
+        state = TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.key_data(jax.random.key(seed + 1)),
+        )
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            state = jax.device_put(state, repl)
+        return state
+
+    # ---- the step --------------------------------------------------------
+    def _loss_fn(self, params, batch):
+        cfg = self.cfg
+        x = batch["x"]                         # (B, R+L) float waveform
+        cond = batch["cond"]                   # (B, (R+L)/H, F)
+        spk = batch.get("speaker") if cfg.model.n_speakers > 0 else None
+        if cfg.model.head == "softmax":
+            q = mulaw_quantize(x, cfg.model.quantize_channels)
+            x_in, target = q[:, :-1], q[:, 1:]
+        else:
+            x_in, target = x[:, :-1], x[:, 1:]
+        out = self.model.apply({"params": params}, x_in, cond, spk)
+        t = x_in.shape[1]
+        seg = cfg.data.segment_length
+        # loss only where the receptive field is fully inside the context
+        mask = (jnp.arange(t) >= (t - seg)).astype(jnp.float32)[None, :]
+        if cfg.model.head == "softmax":
+            loss = heads.softmax_loss(out, target, mask)
+        else:
+            loss = heads.laplace_loss(out, target, cfg.model.log_b_min,
+                                      cfg.model.log_b_max, mask)
+        return loss
+
+    def _make_step(self):
+        def step_fn(state: TrainState, batch):
+            loss, grads = jax.value_and_grad(self._loss_fn)(state.params, batch)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
+            new_state = state.replace(
+                params=params, opt_state=opt_state, step=state.step + 1
+            )
+            return new_state, {"loss": loss, "grad_norm": gnorm}
+
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            # prefix sharding: batch dim of every batch leaf on the data axis
+            data = NamedSharding(self.mesh, P(self.cfg.mesh.data_axis))
+            return jax.jit(
+                step_fn,
+                in_shardings=(repl, data),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    @property
+    def step_fn(self):
+        if self._jit_step is None:
+            self._jit_step = self._make_step()
+        return self._jit_step
+
+    def shard_batch(self, batch: dict[str, np.ndarray]) -> dict:
+        """Host numpy batch -> device array(s) with the data-axis sharding."""
+        if self.cfg.model.n_speakers == 0:
+            batch = {k: v for k, v in batch.items() if k != "speaker"}
+        else:
+            batch = dict(batch)
+        if self.mesh is None:
+            return jax.tree.map(jnp.asarray, batch)
+        data = NamedSharding(self.mesh, P(self.cfg.mesh.data_axis))
+        return {k: jax.device_put(v, data) for k, v in batch.items()}
+
+    # ---- eval ------------------------------------------------------------
+    def eval_loss(self, state: TrainState, batches: list[dict]) -> float:
+        f = jax.jit(self._loss_fn)
+        losses = [float(f(state.params, self.shard_batch(b))) for b in batches]
+        return float(np.mean(losses))
+
+    # ---- checkpointing ---------------------------------------------------
+    def _ckpt_manager(self, workdir: str | Path) -> ocp.CheckpointManager:
+        path = Path(workdir).resolve() / "checkpoints"
+        return ocp.CheckpointManager(
+            path,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=self.cfg.train.keep_checkpoints, create=True
+            ),
+        )
+
+    def save(self, mngr: ocp.CheckpointManager, state: TrainState,
+             sampler_state: dict | None = None) -> None:
+        payload = {"state": ocp.args.StandardSave(state)}
+        if sampler_state is not None:
+            payload["sampler"] = ocp.args.JsonSave(_json_safe(sampler_state))
+        mngr.save(int(state.step), args=ocp.args.Composite(**payload))
+
+    def restore(self, workdir: str | Path, state: TrainState
+                ) -> tuple[TrainState, dict | None, int]:
+        """Restore latest checkpoint into the structure of `state`.
+        Returns (state, sampler_state, step); untouched state if none."""
+        mngr = self._ckpt_manager(workdir)
+        latest = mngr.latest_step()
+        if latest is None:
+            return state, None, 0
+        restored = mngr.restore(
+            latest,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(state),
+                sampler=ocp.args.JsonRestore(),
+            ),
+        )
+        log.info("restored checkpoint at step %d", latest)
+        return restored["state"], restored.get("sampler"), latest
+
+    # ---- the loop --------------------------------------------------------
+    def fit(self, state: TrainState, sampler: Iterator[dict],
+            workdir: str | Path, steps: int | None = None,
+            eval_batches: list[dict] | None = None) -> TrainState:
+        cfg = self.cfg
+        steps = cfg.train.steps if steps is None else steps
+        workdir = Path(workdir)
+        workdir.mkdir(parents=True, exist_ok=True)
+        (workdir / "config.json").write_text(cfg.to_json())
+        metrics_path = workdir / "metrics.jsonl"
+        mngr = self._ckpt_manager(workdir)
+
+        start = int(state.step)
+        t0 = time.time()
+        samples_per_batch = None
+        with metrics_path.open("a") as mf:
+            for _ in range(start, steps):
+                batch = self.shard_batch(next(sampler))
+                if samples_per_batch is None:
+                    samples_per_batch = int(np.prod(batch["x"].shape))
+                state, m = self.step_fn(state, batch)
+                step = int(state.step)
+                if step % cfg.train.log_every == 0 or step == steps:
+                    dt = time.time() - t0
+                    done = step - start
+                    rec = {
+                        "step": step,
+                        "loss": float(m["loss"]),
+                        "grad_norm": float(m["grad_norm"]),
+                        "steps_per_s": done / max(dt, 1e-9),
+                        "samples_per_s": done * samples_per_batch / max(dt, 1e-9),
+                    }
+                    if eval_batches is not None and (
+                        step % cfg.train.checkpoint_every == 0 or step == steps
+                    ):
+                        rec["eval_loss"] = self.eval_loss(state, eval_batches)
+                    mf.write(json.dumps(rec) + "\n")
+                    mf.flush()
+                    log.info("step %(step)d loss %(loss).4f gnorm "
+                             "%(grad_norm).2f %(steps_per_s).2f it/s", rec)
+                if step % cfg.train.checkpoint_every == 0 or step == steps:
+                    sampler_state = (sampler.state()
+                                     if hasattr(sampler, "state") else None)
+                    self.save(mngr, state, sampler_state)
+        mngr.wait_until_finished()
+        return state
+
+
+def _json_safe(obj):
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, np.integer):
+        return int(obj)
+    if isinstance(obj, np.floating):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj

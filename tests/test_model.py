@@ -25,6 +25,21 @@ def tiny_cfg(**kw) -> ModelConfig:
     return ModelConfig(**base)
 
 
+def randomize_head(v, seed=99):
+    """head2 is zero-init (outputs identically 0 at init); give it random
+    weights so perturbation-based tests see signal."""
+    import jax.numpy as jnp
+    k = jax.random.key(seed)
+    p = v["params"]
+    hw = p["head2"]["kernel"]
+    p = dict(p)
+    p["head2"] = {
+        "kernel": jax.random.normal(k, hw.shape, hw.dtype) * 0.05,
+        "bias": p["head2"]["bias"],
+    }
+    return {"params": p}
+
+
 def make_inputs(cfg, B=2, F=8, seed=0):
     rng = np.random.default_rng(seed)
     H = int(np.prod(cfg.upsample_factors))
@@ -55,7 +70,7 @@ def test_causality():
     cfg = tiny_cfg()
     m = WaveNet(cfg)
     x, c, _ = make_inputs(cfg, F=12)
-    v = m.init(jax.random.key(0), x, c)
+    v = randomize_head(m.init(jax.random.key(0), x, c))
     y = m.apply(v, x, c)
     j = 40
     x2 = x.at[:, j].set(0.5)
@@ -69,7 +84,7 @@ def test_receptive_field_matches_config():
     cfg = tiny_cfg()
     m = WaveNet(cfg)
     x, c, _ = make_inputs(cfg, F=12)
-    v = m.init(jax.random.key(0), x, c)
+    v = randomize_head(m.init(jax.random.key(0), x, c))
     y = m.apply(v, x, c)
     j = 20
     x2 = x.at[:, j].set(0.9)
@@ -84,7 +99,7 @@ def test_speaker_embedding_changes_output():
     cfg = tiny_cfg(n_speakers=3)
     m = WaveNet(cfg)
     x, c, spk = make_inputs(cfg)
-    v = m.init(jax.random.key(0), x, c, spk)
+    v = randomize_head(m.init(jax.random.key(0), x, c, spk))
     y0 = m.apply(v, x, c, spk)
     y1 = m.apply(v, x, c, spk + 1)
     assert float(np.abs(np.asarray(y0 - y1)).max()) > 0
