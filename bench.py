@@ -30,6 +30,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from shallow_wavenet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from shallow_wavenet_tpu.config import get_config
     from shallow_wavenet_tpu.models import WaveNet, extract_plain_params
 
@@ -43,9 +47,15 @@ def main():
     log(f"bench: {jax.devices()} backend={jax.default_backend()}")
     model = WaveNet(mc)
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.uniform(-1, 1, (1, 2 * hop - 1)), jnp.float32)
-    c0 = jnp.asarray(rng.standard_normal((1, 2, mc.aux_channels)), jnp.float32)
-    variables = model.init(jax.random.key(0), x0, c0)
+    # init on host CPU (remote-compiling the flax init on the tunnel-attached
+    # TPU costs minutes and contributes nothing to the measurement)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x0 = jnp.asarray(rng.uniform(-1, 1, (1, 2 * hop - 1)), jnp.float32)
+        c0 = jnp.asarray(rng.standard_normal((1, 2, mc.aux_channels)),
+                         jnp.float32)
+        variables = model.init(jax.random.key(0), x0, c0)
+    variables = jax.device_put(variables, jax.devices()[0])
     pp = extract_plain_params(variables, mc)
 
     cond = jnp.asarray(

@@ -20,6 +20,11 @@ def setup_logging(verbose: bool = True):
         level=logging.INFO if verbose else logging.WARNING,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
+    # repeat CLI invocations reuse compiled programs (big win on the
+    # remote-compile TPU path)
+    from shallow_wavenet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 def add_config_args(p: argparse.ArgumentParser):

@@ -41,21 +41,48 @@ def load_model_state(cfg: Config, workdir: str):
     return trainer, state, step
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _prep_fn(model):
+    """Jitted (upsample_cond + plain-param extraction) — eager flax apply
+    would dispatch op-by-op, which is ruinous on a remote-attached TPU."""
+    import jax
+    from shallow_wavenet_tpu.models import extract_plain_params
+
+    def prep(variables, cond, spk):
+        c_up = model.apply(variables, cond, spk, method="upsample_cond")
+        return c_up, extract_plain_params(variables, model.cfg)
+
+    return jax.jit(prep)
+
+
 def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None):
     """Generate one padded batch; returns list of trimmed waveforms."""
     import jax
     import jax.numpy as jnp
-    from shallow_wavenet_tpu.models import extract_plain_params
     from shallow_wavenet_tpu.models.generate import generate_fast
+    from shallow_wavenet_tpu.ops.ar_kernel import (
+        generate_pallas, pallas_supported,
+    )
 
     cond, n_frames, n_samples = pad_batch_for_decode(utts, cfg.data.hop_length)
     variables = {"params": state.params}
     spk = (jnp.asarray([u.speaker for u in utts], jnp.int32)
            if cfg.model.n_speakers > 0 else None)
-    c_up = trainer.model.apply(variables, jnp.asarray(cond), spk,
-                               method="upsample_cond")
-    pp = extract_plain_params(variables, cfg.model)
-    wav = np.asarray(generate_fast(pp, cfg.model, c_up, key))
+    c_up, pp = _prep_fn(trainer.model)(variables, jnp.asarray(cond), spk)
+    # both backends consume the same uniform stream -> identical samples;
+    # the Pallas persistent kernel is the TPU fast path (SURVEY.md §7 PR5)
+    noise = jax.random.uniform(key, (c_up.shape[0], c_up.shape[1]),
+                               minval=1e-7, maxval=1.0 - 1e-7)
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and pallas_supported(cfg.model))
+    if use_pallas:
+        wav = np.asarray(generate_pallas(pp, cfg.model, c_up, noise=noise))
+    else:
+        wav = np.asarray(generate_fast(pp, cfg.model, c_up, key, noise=noise))
     return [wav[i, : n_samples[i]] for i in range(len(utts))]
 
 

@@ -49,14 +49,23 @@ def _head_out(pp, skip):
     return out @ pp["head2_w"] + pp["head2_b"]    # (B, O)
 
 
-def _sample(cfg: ModelConfig, out, key, mode):
-    """Returns (feedback, waveform_sample)."""
+def _sample(cfg: ModelConfig, out, key, mode, u=None):
+    """Returns (feedback, waveform_sample). When `u` (per-draw uniform) is
+    given it is used instead of `key` — the shared-noise path that makes
+    scan/naive/Pallas backends bit-comparable."""
     if cfg.head == "softmax":
-        ids = (jnp.argmax(out, axis=-1).astype(jnp.int32) if mode == "greedy"
-               else heads.sample_softmax(out, key))
+        if mode == "greedy":
+            ids = jnp.argmax(out, axis=-1).astype(jnp.int32)
+        elif u is not None:
+            ids = heads.categorical_from_uniform(out, u)
+        else:
+            ids = heads.sample_softmax(out, key)
         return ids, mulaw_dequantize(ids, cfg.quantize_channels)
     if mode == "greedy":
         x = out[..., 0]
+    elif u is not None:
+        x = heads.laplace_from_uniform(out, u - 0.5, cfg.log_b_min,
+                                       cfg.log_b_max)
     else:
         x = heads.sample_laplace(out, key, cfg.log_b_min, cfg.log_b_max)
     x = jnp.clip(x, -1.0, 1.0)
@@ -64,12 +73,15 @@ def _sample(cfg: ModelConfig, out, key, mode):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mode"))
-def generate_fast(pp: dict, cfg: ModelConfig, c_up, key, mode: str = "sample"):
+def generate_fast(pp: dict, cfg: ModelConfig, c_up, key, mode: str = "sample",
+                  noise=None):
     """Queue-cached AR generation.
 
     pp    : plain params from extract_plain_params (fp32)
     c_up  : (B, T, C) sample-rate conditioning (from WaveNet.upsample_cond)
     key   : PRNG key; per-step keys are fold_in(key, t)
+    noise : optional (B, T) uniforms in (0,1) — shared-noise sampling that
+            is bit-comparable across the scan/naive/Pallas backends
     Returns waveform (B, T) float32.
     """
     B, T, _ = c_up.shape
@@ -113,7 +125,9 @@ def generate_fast(pp: dict, cfg: ModelConfig, c_up, key, mode: str = "sample"):
             xs,
         )
         out = _head_out(pp, skip)
-        fb, x_t = _sample(cfg, out, jax.random.fold_in(key, t), mode)
+        u = None if noise is None else jax.lax.dynamic_index_in_dim(
+            noise, t, axis=1, keepdims=False)
+        fb, x_t = _sample(cfg, out, jax.random.fold_in(key, t), mode, u)
         return (bufs, fb), x_t
 
     (_, _), wav = jax.lax.scan(step, (bufs0, x0), jnp.arange(T))
@@ -121,7 +135,7 @@ def generate_fast(pp: dict, cfg: ModelConfig, c_up, key, mode: str = "sample"):
 
 
 def generate_naive(model, variables, cfg: ModelConfig, c_up, key,
-                   mode: str = "sample"):
+                   mode: str = "sample", noise=None):
     """Equivalence oracle: per sample, recompute the teacher-forced stack on
     the whole (fixed-size) prefix and read position t. O(T^2) — tests only."""
     B, T, _ = c_up.shape
@@ -138,7 +152,8 @@ def generate_naive(model, variables, cfg: ModelConfig, c_up, key,
     wav = np.zeros((B, T), np.float32)
     for t in range(T):
         out = full(jnp.asarray(x_seq))[:, t]
-        fb, x_t = _sample(cfg, out, jax.random.fold_in(key, t), mode)
+        u = None if noise is None else noise[:, t]
+        fb, x_t = _sample(cfg, out, jax.random.fold_in(key, t), mode, u)
         wav[:, t] = np.asarray(x_t)
         if t + 1 < T:
             x_seq[:, t + 1] = np.asarray(fb)

@@ -60,7 +60,26 @@ def laplace_from_uniform(out, u, log_b_min=-9.0, log_b_max=3.0):
 
 def gumbel_argmax_from_uniform(logits, u):
     """Gumbel-max categorical sampling from externally supplied uniforms in
-    (0, 1); logits (..., Q), u same shape. Used in-kernel (SURVEY.md §7
-    'sampling inside the kernel')."""
+    (0, 1); logits (..., Q), u same shape."""
     g = -jnp.log(-jnp.log(u))
     return jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+
+
+def categorical_from_uniform(logits, u):
+    """Inverse-CDF categorical sampling from ONE uniform per draw:
+    id = #{q : cdf(q) < u}. logits (..., Q), u (...) in (0, 1).
+
+    This is the sampler the Pallas AR kernel uses in-kernel (a single
+    uniform per step instead of Q Gumbels); the scan/naive paths call the
+    same function so all three backends share one noise stream.
+    """
+    q = logits.shape[-1]
+    p = jax.nn.softmax(logits, axis=-1)
+    # cdf via upper-triangular matmul — the exact op the Pallas kernel uses
+    # (cumsum has no Mosaic lowering), so both paths share fp behaviour and
+    # the equivalence tests can compare exactly
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (q, q), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (q, q), 1)).astype(p.dtype)
+    cdf = jnp.dot(p, tri, preferred_element_type=p.dtype)
+    ids = jnp.sum((cdf < u[..., None]).astype(jnp.int32), axis=-1)
+    return jnp.clip(ids, 0, q - 1)

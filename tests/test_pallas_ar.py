@@ -1,0 +1,65 @@
+"""Pallas AR kernel equivalence tests, interpreter mode on CPU (SURVEY.md
+§5.2: interpret=True is the TPU analog of running under a sanitizer).
+
+The kernel must reproduce the lax.scan queue path exactly: same weights,
+same conditioning, same uniform stream -> identical samples. On real TPU
+hardware the same comparison holds bit-exactly (verified on v5e; the bench
+runs the compiled kernel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shallow_wavenet_tpu.models.generate import generate_fast
+from shallow_wavenet_tpu.ops.ar_kernel import generate_pallas, pallas_supported
+
+from tests.test_generate import setup_gen
+from tests.test_model import tiny_cfg
+
+
+@pytest.mark.parametrize("head", ["softmax", "laplace"])
+@pytest.mark.parametrize("mode", ["greedy", "sample"])
+def test_pallas_equals_scan(head, mode):
+    cfg, m, v, pp, c_up = setup_gen(head)
+    assert pallas_supported(cfg)
+    key = jax.random.key(11)
+    B, T, _ = c_up.shape
+    noise = jax.random.uniform(key, (B, T), minval=1e-6, maxval=1 - 1e-6)
+    fast = np.asarray(generate_fast(pp, cfg, c_up, key, mode, noise=noise))
+    pal = np.asarray(generate_pallas(pp, cfg, c_up, mode=mode, noise=noise,
+                                     chunk=128, interpret=True))
+    np.testing.assert_array_equal(fast, pal)
+
+
+def test_pallas_state_persists_across_chunks():
+    """A chunk boundary must be invisible: compare one-chunk vs many-chunk
+    runs of the same generation."""
+    cfg, m, v, pp, c_up = setup_gen("laplace", F=30)  # T = 300 samples
+    B, T, _ = c_up.shape
+    key = jax.random.key(0)
+    noise = jax.random.uniform(key, (B, T), minval=1e-6, maxval=1 - 1e-6)
+    one = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                     noise=noise, chunk=384, interpret=True))
+    many = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                      noise=noise, chunk=128, interpret=True))
+    np.testing.assert_array_equal(one, many)
+
+
+def test_pallas_handles_nonmultiple_length():
+    """T not a multiple of chunk: output is trimmed, values match scan."""
+    cfg, m, v, pp, c_up = setup_gen("laplace", F=3)  # T = 3*10 = 30 frames
+    B, T, _ = c_up.shape
+    assert T % 128 != 0
+    key = jax.random.key(2)
+    noise = jax.random.uniform(key, (B, T), minval=1e-6, maxval=1 - 1e-6)
+    fast = np.asarray(generate_fast(pp, cfg, c_up, key, "sample", noise=noise))
+    pal = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                     noise=noise, chunk=128, interpret=True))
+    assert pal.shape == (B, T)
+    np.testing.assert_array_equal(fast, pal)
+
+
+def test_pallas_supported_flags():
+    assert pallas_supported(tiny_cfg())
+    assert not pallas_supported(tiny_cfg(kernel_size=3))
