@@ -38,10 +38,20 @@ def resolve_config(args) -> Config:
         cfg = Config.from_json(Path(args.config).read_text())
         if args.overrides:
             cfg = cfg.apply_overrides(list(args.overrides))
-        return cfg
-    if args.preset:
-        return get_config(args.preset, list(args.overrides or []))
-    raise SystemExit("one of --preset/--config is required")
+    elif args.preset:
+        cfg = get_config(args.preset, list(args.overrides or []))
+    else:
+        raise SystemExit("one of --preset/--config is required")
+    from shallow_wavenet_tpu.config import feature_dim
+
+    fd = feature_dim(cfg)
+    if cfg.model.aux_channels != fd:
+        raise SystemExit(
+            f"model.aux_channels={cfg.model.aux_channels} does not match the "
+            f"{cfg.data.feature_type!r} feature dimensionality {fd}; set "
+            f"model.aux_channels={fd}"
+        )
+    return cfg
 
 
 def feats_path_for(wav_path: str, feats_dir: str | Path) -> Path:

@@ -33,11 +33,33 @@ def extract_one(wav_path: str, cfg) -> np.ndarray:
         raise ValueError(
             f"{wav_path}: sample rate {sr} != config {cfg.data.sample_rate}"
         )
+    n_frames = len(wav) // cfg.data.hop_length
+    x = jnp.asarray(wav)
+    if cfg.data.feature_type == "world":
+        # WORLD-equivalent path (C12): log-F0 + vuv + mcep + band ap
+        from shallow_wavenet_tpu.ops.f0 import (
+            band_aperiodicity, estimate_f0, log_f0,
+        )
+        from shallow_wavenet_tpu.ops.mcep import mcep_analysis
+
+        f0, vuv = estimate_f0(x, sr, cfg.data.hop_length,
+                              f0_min=cfg.data.f0_min, f0_max=cfg.data.f0_max)
+        lf0 = log_f0(f0, vuv)
+        mc = mcep_analysis(x, cfg.data.n_fft, cfg.data.hop_length,
+                           cfg.data.win_length, cfg.noise_shaping.mcep_order,
+                           cfg.noise_shaping.alpha)
+        bap = band_aperiodicity(x, f0, sr, cfg.data.hop_length,
+                                n_bands=cfg.data.n_bap)
+        n = min(lf0.shape[0], mc.shape[0], bap.shape[0], n_frames)
+        feats = jnp.concatenate(
+            [lf0[:n, None], vuv[:n, None], mc[:n], bap[:n]], axis=-1
+        )
+        return np.asarray(feats)
     mel = log_mel_spectrogram(
-        jnp.asarray(wav), sr, cfg.data.n_fft, cfg.data.hop_length,
+        x, sr, cfg.data.n_fft, cfg.data.hop_length,
         cfg.data.win_length, cfg.data.n_mels, cfg.data.fmin, cfg.data.fmax,
     )
-    return np.asarray(mel)[: len(wav) // cfg.data.hop_length]
+    return np.asarray(mel)[:n_frames]
 
 
 def main(argv=None):

@@ -63,6 +63,13 @@ class DataConfig:
     segment_length: int = 8000   # waveform samples per training crop
     batch_size: int = 8          # per-process utterance segments
     highpass_cutoff: float = 0.0
+    # conditioning feature set: "mel" (log-mel, n_mels dims) or "world"
+    # (log-F0 + vuv + mcep + band aperiodicity — the reference's WORLD/SPTK
+    # path, components C2/C12; dims = 2 + mcep_order+1 + n_bap)
+    feature_type: str = "mel"
+    f0_min: float = 70.0
+    f0_max: float = 400.0
+    n_bap: int = 4
 
 
 @dataclass(frozen=True)
@@ -103,6 +110,16 @@ class MeshConfig:
     data_axis: str = "data"
     num_devices: int = 0         # 0 = all visible devices
     multihost: bool = False      # call jax.distributed.initialize()
+
+
+def feature_dim(cfg: "Config") -> int:
+    """Conditioning dimensionality implied by the data config — must equal
+    model.aux_channels."""
+    if cfg.data.feature_type == "mel":
+        return cfg.data.n_mels
+    if cfg.data.feature_type == "world":
+        return 2 + (cfg.noise_shaping.mcep_order + 1) + cfg.data.n_bap
+    raise ValueError(f"unknown feature_type {cfg.data.feature_type!r}")
 
 
 @dataclass
