@@ -95,6 +95,8 @@ def main(argv=None):
     p.add_argument("--outdir", required=True)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", action="store_true",
+                   help="write a jax.profiler trace to <outdir>/profile")
     add_config_args(p)
     args = p.parse_args(argv)
     setup_logging()
@@ -108,22 +110,28 @@ def main(argv=None):
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
 
+    from shallow_wavenet_tpu.utils.observability import maybe_profile
+
     total_audio_s, total_wall = 0.0, 0.0
     key = jax.random.key(args.seed)
-    for i in range(0, len(utts), args.batch_size):
-        chunk = utts[i : i + args.batch_size]
-        t0 = time.time()
-        wavs = decode_batch(trainer, state, cfg, chunk,
-                            jax.random.fold_in(key, i))
-        wall = time.time() - t0
-        audio_s = sum(len(w) for w in wavs) / cfg.data.sample_rate
-        total_audio_s += audio_s
-        total_wall += wall
-        for u_path, w in zip(paths[i : i + args.batch_size], wavs):
-            out = outdir / Path(u_path).name
-            write_wav(out, w, cfg.data.sample_rate)
-        log.info("batch %d: %.2f audio-s in %.2f s (RTF %.3f)",
-                 i // args.batch_size, audio_s, wall, wall / max(audio_s, 1e-9))
+    profile_ctx = maybe_profile(outdir / "profile" if args.profile else None)
+    with profile_ctx:
+        for i in range(0, len(utts), args.batch_size):
+            chunk = utts[i : i + args.batch_size]
+            t0 = time.time()
+            wavs = decode_batch(trainer, state, cfg, chunk,
+                                jax.random.fold_in(key, i))
+            wall = time.time() - t0
+            audio_s = sum(len(w) for w in wavs) / cfg.data.sample_rate
+            total_audio_s += audio_s
+            total_wall += wall
+            for u_path, w in zip(paths[i : i + args.batch_size], wavs):
+                out = outdir / Path(u_path).name
+                write_wav(out, w, cfg.data.sample_rate)
+            log.info(
+                "batch %d: %.2f audio-s in %.2f s (RTF %.3f)",
+                i // args.batch_size, audio_s, wall,
+                wall / max(audio_s, 1e-9))
 
     rtf = total_wall / max(total_audio_s, 1e-9)
     summary = {

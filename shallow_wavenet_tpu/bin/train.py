@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+from pathlib import Path
 
 from shallow_wavenet_tpu.bin.common import (
     add_config_args, load_utterances, resolve_config, setup_logging,
@@ -25,10 +26,18 @@ def main(argv=None):
                    help="noise-shaped training waveforms (stage 3 output)")
     p.add_argument("--workdir", required=True)
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--profile", action="store_true",
+                   help="write a jax.profiler trace to <workdir>/profile")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="fail fast on NaNs inside jit (SURVEY.md §5.2)")
     add_config_args(p)
     args = p.parse_args(argv)
     setup_logging()
     cfg = resolve_config(args)
+    if args.debug_nans:
+        from shallow_wavenet_tpu.utils.observability import enable_debug_mode
+
+        enable_debug_mode()
 
     from shallow_wavenet_tpu.parallel.mesh import make_mesh, process_shard
     from shallow_wavenet_tpu.training import Trainer
@@ -53,7 +62,11 @@ def main(argv=None):
     state, sampler_state, start = trainer.restore(args.workdir, state)
     if sampler_state is not None:
         sampler.set_state(sampler_state)
-    trainer.fit(state, sampler, args.workdir, steps=args.steps)
+    from shallow_wavenet_tpu.utils.observability import maybe_profile
+
+    with maybe_profile(Path(args.workdir) / "profile" if args.profile
+                       else None):
+        trainer.fit(state, sampler, args.workdir, steps=args.steps)
 
 
 if __name__ == "__main__":

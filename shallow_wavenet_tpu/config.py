@@ -248,7 +248,8 @@ def _preset_4() -> Config:
     """Config 4: multi-speaker, data-parallel over a v5e-8 host."""
     c = _preset_3()
     c.name = "multispk_dp"
-    c.data.batch_size = 8  # per device
+    c.model = dataclasses.replace(c.model, n_speakers=4)
+    c.data = dataclasses.replace(c.data, batch_size=8)  # per device
     c.mesh = MeshConfig(num_devices=0)
     return c
 

@@ -42,11 +42,35 @@ from shallow_wavenet_tpu.config import ModelConfig
 from shallow_wavenet_tpu.models.generate import seed_feedback
 
 
-def pallas_supported(cfg: ModelConfig) -> bool:
+def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8,
+                        chunk: int = 512) -> int:
+    """fp32 VMEM footprint: resident weights + ring buffers + streamed
+    cond/noise/out blocks (double-buffered by the pipeline)."""
+    L = len(cfg.dilations)
+    D = int(max(cfg.dilations))
+    R, G, S, C = (cfg.residual_channels, cfg.gate_channels,
+                  cfg.skip_channels, cfg.cond_channels)
+    Q = cfg.quantize_channels
+    w = L * (2 * R * G + C * G + (G // 2) * R + (G // 2) * S) + S * S + S * Q
+    if cfg.head == "softmax":
+        w += Q * R
+    bufs = L * D * batch * R
+    stream = 2 * chunk * batch * (C + 2)   # cond + noise + out, x2 buffers
+    return 4 * (w + bufs + stream)
+
+
+# v5e VMEM is ~16 MB/core; leave headroom for Mosaic's own temporaries
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def pallas_supported(cfg: ModelConfig, batch: int = 8) -> bool:
     """The kernel covers both heads, kernel_size 2, power-of-two max
-    dilation (true for 2**i schedules)."""
+    dilation (true for 2**i schedules), and models whose weights + ring
+    buffers fit the VMEM budget (the deep baseline config exceeds it and
+    decodes via the lax.scan path instead)."""
     d = max(cfg.dilations)
-    return cfg.kernel_size == 2 and (d & (d - 1)) == 0
+    return (cfg.kernel_size == 2 and (d & (d - 1)) == 0
+            and vmem_bytes_estimate(cfg, batch) <= _VMEM_BUDGET)
 
 
 def _make_kernel(cfg: ModelConfig, chunk: int, n_chunks: int, batch: int,

@@ -210,6 +210,9 @@ class Trainer:
         metrics_path = workdir / "metrics.jsonl"
         mngr = self._ckpt_manager(workdir)
 
+        from shallow_wavenet_tpu.utils.observability import MetricsWriter
+
+        tb = MetricsWriter(workdir / "tb")
         start = int(state.step)
         t0 = time.time()
         samples_per_batch = None
@@ -236,12 +239,14 @@ class Trainer:
                         rec["eval_loss"] = self.eval_loss(state, eval_batches)
                     mf.write(json.dumps(rec) + "\n")
                     mf.flush()
+                    tb.scalars(step, rec)
                     log.info("step %(step)d loss %(loss).4f gnorm "
                              "%(grad_norm).2f %(steps_per_s).2f it/s", rec)
                 if step % cfg.train.checkpoint_every == 0 or step == steps:
                     sampler_state = (sampler.state()
                                      if hasattr(sampler, "state") else None)
                     self.save(mngr, state, sampler_state)
+        tb.close()
         mngr.wait_until_finished()
         return state
 
