@@ -1,0 +1,77 @@
+"""End-to-end recipe tests on CPU (SURVEY.md §3.1 call stack; test §4.5
+golden copy-synthesis, tiny version). Exercises every layer L0-L5 once:
+synthetic corpus -> features -> stats -> (noise shaping) -> train ->
+decode -> (restore) -> MCD."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from shallow_wavenet_tpu.bin import run as run_cli
+
+TINY = [
+    "data.sample_rate=8000", "data.n_fft=256", "data.hop_length=80",
+    "data.win_length=200", "data.n_mels=16", "data.fmax=3800.0",
+    "data.segment_length=800", "data.batch_size=2",
+    "model.aux_channels=16", "model.stack_size=4",
+    "model.residual_channels=16", "model.gate_channels=32",
+    "model.skip_channels=24", "model.cond_channels=12",
+    "model.upsample_factors=[4,5,4]", "model.compute_dtype=float32",
+    "train.checkpoint_every=10", "train.log_every=5",
+]
+
+
+def run_stages(tmp_path, preset, extra=(), stages=(0, 6), steps=10,
+               n_train=2, n_eval=1):
+    run_cli.main([
+        "--preset", preset, "--workdir", str(tmp_path),
+        "--stage", str(stages[0]), "--stop-stage", str(stages[1]),
+        "--steps", str(steps), "--n-train", str(n_train),
+        "--n-eval", str(n_eval), *TINY, *extra,
+    ])
+
+
+def test_recipe_softmax_end_to_end(tmp_path):
+    run_stages(tmp_path, "shallow_softmax_single")
+    # every stage artifact exists
+    assert (tmp_path / "corpus/train.scp").exists()
+    assert (tmp_path / "stats.h5").exists()
+    assert (tmp_path / "model/metrics.jsonl").exists()
+    gen = list((tmp_path / "gen_wav").glob("*.wav"))
+    assert len(gen) == 1
+    mcd = json.loads((tmp_path / "mcd.json").read_text())
+    assert mcd["mcd_db_mean"] is not None and np.isfinite(mcd["mcd_db_mean"])
+    summary = json.loads((tmp_path / "gen_wav/decode_summary.json").read_text())
+    assert summary["model_step"] == 10
+
+
+def test_recipe_noise_shaping_end_to_end(tmp_path):
+    run_stages(tmp_path, "shallow_laplace_ns",
+               extra=["noise_shaping.mcep_order=12"])
+    # shaped training wavs + restored eval wavs exist
+    assert len(list((tmp_path / "shaped_wav").glob("*.wav"))) == 2
+    assert len(list((tmp_path / "restored_wav").glob("*.wav"))) == 1
+    mcd = json.loads((tmp_path / "mcd.json").read_text())
+    assert np.isfinite(mcd["mcd_db_mean"])
+
+
+def test_recipe_multispeaker(tmp_path):
+    run_stages(tmp_path, "multispk_dp", n_train=4,
+               extra=["noise_shaping.enabled=false", "mesh.num_devices=2"])
+    assert (tmp_path / "model/metrics.jsonl").exists()
+    # two speakers present in the corpus file names
+    spks = {p.name.split("_")[0] for p in (tmp_path / "corpus/wav/train").iterdir()}
+    assert len(spks) >= 2
+
+
+def test_recipe_stage_resume(tmp_path):
+    """--stage N resumes mid-pipeline (SURVEY.md §5.3)."""
+    run_stages(tmp_path, "shallow_softmax_single", stages=(0, 2))
+    assert (tmp_path / "stats.h5").exists()
+    assert not (tmp_path / "model").exists()
+    run_stages(tmp_path, "shallow_softmax_single", stages=(4, 4), steps=5)
+    recs = [json.loads(l) for l in
+            (tmp_path / "model/metrics.jsonl").read_text().splitlines()]
+    assert recs[-1]["step"] == 5
