@@ -19,7 +19,8 @@ import numpy as np
 
 TARGET_RTF = 0.1
 SECONDS_PER_UTT = 1.0
-BATCH = 8
+BATCH = 32   # batched utterances per chip (BASELINE config 4 contract)
+CHUNK = 256
 
 
 def log(*a):
@@ -74,7 +75,7 @@ def main():
         )
 
         if pallas_supported(mc):
-            gen = lambda: generate_pallas(pp, mc, c_up, jax.random.key(1))
+            gen = lambda: generate_pallas(pp, mc, c_up, jax.random.key(1), chunk=CHUNK)
             backend = "pallas"
     except ImportError:
         pass
