@@ -210,15 +210,18 @@ class Trainer:
         metrics_path = workdir / "metrics.jsonl"
         mngr = self._ckpt_manager(workdir)
 
+        from shallow_wavenet_tpu.data.prefetch import Prefetcher
         from shallow_wavenet_tpu.utils.observability import MetricsWriter
 
         tb = MetricsWriter(workdir / "tb")
+        # overlap host batch assembly + H2D with the device step
+        prefetch = Prefetcher(sampler, put_fn=self.shard_batch)
         start = int(state.step)
         t0 = time.time()
         samples_per_batch = None
         with metrics_path.open("a") as mf:
             for _ in range(start, steps):
-                batch = self.shard_batch(next(sampler))
+                batch = next(prefetch)
                 if samples_per_batch is None:
                     samples_per_batch = int(np.prod(batch["x"].shape))
                 state, m = self.step_fn(state, batch)
@@ -243,9 +246,8 @@ class Trainer:
                     log.info("step %(step)d loss %(loss).4f gnorm "
                              "%(grad_norm).2f %(steps_per_s).2f it/s", rec)
                 if step % cfg.train.checkpoint_every == 0 or step == steps:
-                    sampler_state = (sampler.state()
-                                     if hasattr(sampler, "state") else None)
-                    self.save(mngr, state, sampler_state)
+                    self.save(mngr, state, prefetch.state())
+        prefetch.close()
         tb.close()
         mngr.wait_until_finished()
         return state
