@@ -66,18 +66,25 @@ def load_stats(stats_path: str | Path):
 
 def load_utterances(wav_scp: str | Path, feats_dir: str | Path,
                     stats_path: str | Path | None = None,
-                    waveform_dir: str | Path | None = None
-                    ) -> list[Utterance]:
+                    waveform_dir: str | Path | None = None,
+                    highpass_cutoff: float = 0.0,
+                    sample_rate: int = 0) -> list[Utterance]:
     """Load (wav, normalized feats) pairs for training/decoding.
 
     waveform_dir: if given, read the (noise-shaped) training waveform from
     <dir>/<stem>.wav instead of the original wav path (component C4 output).
+    highpass_cutoff > 0 applies the corpus high-pass (C2 periphery) so the
+    model trains/evaluates on the same filtered signal the features saw.
     """
     stats = load_stats(stats_path) if stats_path else None
     utts = []
     for p in read_file_list(wav_scp):
         wav_p = (Path(waveform_dir) / Path(p).name) if waveform_dir else p
-        wav, _sr = read_wav(wav_p)
+        wav, sr = read_wav(wav_p)
+        if highpass_cutoff > 0:
+            from shallow_wavenet_tpu.ops.filters import highpass
+
+            wav = highpass(wav, sample_rate or sr, highpass_cutoff)
         feats = read_hdf5(feats_path_for(p, feats_dir), "feats").astype(np.float32)
         if stats is not None:
             feats = (feats - stats[0]) / np.maximum(stats[1], 1e-8)

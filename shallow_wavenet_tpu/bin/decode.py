@@ -104,7 +104,9 @@ def main(argv=None):
 
     import jax
 
-    utts = load_utterances(args.eval_scp, args.feats_dir, args.stats)
+    utts = load_utterances(args.eval_scp, args.feats_dir, args.stats,
+                           highpass_cutoff=cfg.data.highpass_cutoff,
+                           sample_rate=cfg.data.sample_rate)
     paths = read_file_list(args.eval_scp)
     trainer, state, step = load_model_state(cfg, args.workdir)
     outdir = Path(args.outdir)

@@ -33,6 +33,10 @@ def extract_one(wav_path: str, cfg) -> np.ndarray:
         raise ValueError(
             f"{wav_path}: sample rate {sr} != config {cfg.data.sample_rate}"
         )
+    if cfg.data.highpass_cutoff > 0:
+        from shallow_wavenet_tpu.ops.filters import highpass
+
+        wav = highpass(wav, sr, cfg.data.highpass_cutoff)
     n_frames = len(wav) // cfg.data.hop_length
     x = jnp.asarray(wav)
     if cfg.data.feature_type == "world":

@@ -85,6 +85,10 @@ def main(argv=None):
     for wp in read_file_list(args.wav_scp):
         src = Path(args.indir) / Path(wp).name if args.indir else Path(wp)
         x, sr = read_wav(src)
+        if not args.inv and cfg.data.highpass_cutoff > 0:
+            from shallow_wavenet_tpu.ops.filters import highpass
+
+            x = highpass(x, sr, cfg.data.highpass_cutoff)
         y = filter_waveform(x, b, ns.alpha, ns.pade_order, args.inv)
         peak = np.abs(y).max()
         if peak > 1.0:

@@ -110,7 +110,8 @@ def main(argv=None):
         if cfg.noise_shaping.enabled:
             extra += ["--waveform-dir", str(shaped)]
         train_cli.main(
-            ["--train-scp", str(train_scp), "--feats-dir", str(feats),
+            ["--train-scp", str(train_scp), "--dev-scp", str(eval_scp),
+             "--feats-dir", str(feats),
              "--stats", str(stats), "--workdir", str(model_dir),
              *extra, *cfg_args, *ov]
         )

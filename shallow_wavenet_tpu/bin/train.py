@@ -20,6 +20,8 @@ log = logging.getLogger("train")
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--train-scp", required=True)
+    p.add_argument("--dev-scp", default=None,
+                   help="held-out list for periodic eval loss")
     p.add_argument("--feats-dir", required=True)
     p.add_argument("--stats", default=None)
     p.add_argument("--waveform-dir", default=None,
@@ -44,7 +46,9 @@ def main(argv=None):
 
     mesh = make_mesh(cfg.mesh)
     utts = load_utterances(args.train_scp, args.feats_dir, args.stats,
-                           args.waveform_dir)
+                           args.waveform_dir,
+                           highpass_cutoff=cfg.data.highpass_cutoff,
+                           sample_rate=cfg.data.sample_rate)
     utts = process_shard(utts)
     log.info("loaded %d utterances (this process)", len(utts))
 
@@ -57,6 +61,19 @@ def main(argv=None):
         seed=cfg.train.seed,
     )
 
+    eval_batches = None
+    if args.dev_scp:
+        dev_utts = load_utterances(args.dev_scp, args.feats_dir, args.stats,
+                                   highpass_cutoff=cfg.data.highpass_cutoff,
+                                   sample_rate=cfg.data.sample_rate)
+        dev_sampler = SegmentSampler(
+            dev_utts, batch_size=global_batch,
+            segment_length=cfg.data.segment_length,
+            hop_length=cfg.data.hop_length,
+            receptive_field=cfg.model.receptive_field, seed=12345,
+        )
+        eval_batches = [next(dev_sampler) for _ in range(4)]
+
     trainer = Trainer(cfg, mesh)
     state = trainer.init_state()
     state, sampler_state, start = trainer.restore(args.workdir, state)
@@ -66,7 +83,8 @@ def main(argv=None):
 
     with maybe_profile(Path(args.workdir) / "profile" if args.profile
                        else None):
-        trainer.fit(state, sampler, args.workdir, steps=args.steps)
+        trainer.fit(state, sampler, args.workdir, steps=args.steps,
+                    eval_batches=eval_batches)
 
 
 if __name__ == "__main__":
