@@ -134,6 +134,45 @@ def generate_fast(pp: dict, cfg: ModelConfig, c_up, key, mode: str = "sample",
     return jnp.transpose(wav, (1, 0))             # (B, T)
 
 
+def generate_dp(pp: dict, cfg: ModelConfig, c_up, noise, mesh,
+                mode: str = "sample", use_pallas: bool = False,
+                chunk: int = 512):
+    """Batched AR generation sharded over chips (BASELINE config 4;
+    SURVEY.md §2.2 DP row): shard_map over the ('data',) mesh — each device
+    generates its own utterance shard with the queue-cached step (Pallas
+    kernel per device when use_pallas), params replicated, zero cross-chip
+    traffic during the AR loop.
+
+    noise: (B, T) uniforms (required — per-utterance streams must be
+    explicit so sharding cannot change the samples). B must divide by the
+    mesh size.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+    repl = jax.tree.map(lambda _: P(), pp)
+
+    def per_device(pp_, c_up_, noise_):
+        if use_pallas:
+            from shallow_wavenet_tpu.ops.ar_kernel import generate_pallas
+
+            return generate_pallas(pp_, cfg, c_up_, mode=mode, noise=noise_,
+                                   chunk=chunk)
+        return generate_fast(pp_, cfg, c_up_, jax.random.key(0), mode,
+                             noise=noise_)
+
+    f = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(repl, P(axis), P(axis)),
+        out_specs=P(axis),
+        # the scan carries mix device-varying (h) and replicated-zero
+        # (skip) inits; skip the varying-axis type check
+        check_vma=False,
+    )
+    return f(pp, c_up, noise)
+
+
 def generate_naive(model, variables, cfg: ModelConfig, c_up, key,
                    mode: str = "sample", noise=None):
     """Equivalence oracle: per sample, recompute the teacher-forced stack on

@@ -97,3 +97,30 @@ def test_sharded_batched_generation_matches_unsharded():
     c_up_sharded = jax.device_put(c_up, data_sharding(mesh))
     out = np.asarray(generate_fast(pp, cfg, c_up_sharded, key))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_shard_map_generation_matches_unsharded():
+    """generate_dp (explicit shard_map, one utterance shard per device)
+    must equal the single-device scan path sample-for-sample."""
+    from tests.test_model import tiny_cfg
+    from shallow_wavenet_tpu.models.generate import generate_dp
+
+    cfg = tiny_cfg(head="laplace")
+    m = WaveNet(cfg)
+    rng = np.random.default_rng(1)
+    B, F = 8, 4
+    H = int(np.prod(cfg.upsample_factors))
+    x = jnp.asarray(rng.uniform(-1, 1, (B, F * H - 1)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((B, F, cfg.aux_channels)), jnp.float32)
+    v = m.init(jax.random.key(0), x, c)
+    pp = extract_plain_params(v, cfg)
+    c_up = m.apply(v, c, method="upsample_cond")
+    T = c_up.shape[1]
+    noise = jax.random.uniform(jax.random.key(3), (B, T),
+                               minval=1e-6, maxval=1 - 1e-6)
+
+    ref = np.asarray(generate_fast(pp, cfg, c_up, jax.random.key(0),
+                                   noise=noise))
+    mesh = make_mesh(MeshConfig())
+    out = np.asarray(generate_dp(pp, cfg, c_up, noise, mesh))
+    np.testing.assert_array_equal(out, ref)
