@@ -53,7 +53,13 @@ def main(argv=None):
         ns = cfg.noise_shaping
         tot, cnt = 0.0, 0
         for wp in paths:
-            wav, _sr = read_wav(wp)
+            wav, sr = read_wav(wp)
+            if cfg.data.highpass_cutoff > 0:
+                # the shaping filter must be fit to the same filtered
+                # signal training/generation will see
+                from shallow_wavenet_tpu.ops.filters import highpass
+
+                wav = highpass(wav, sr, cfg.data.highpass_cutoff)
             mc = mcep_analysis(
                 jnp.asarray(wav), cfg.data.n_fft, cfg.data.hop_length,
                 cfg.data.win_length, ns.mcep_order, ns.alpha,

@@ -81,7 +81,9 @@ def load_utterances(wav_scp: str | Path, feats_dir: str | Path,
     for p in read_file_list(wav_scp):
         wav_p = (Path(waveform_dir) / Path(p).name) if waveform_dir else p
         wav, sr = read_wav(wav_p)
-        if highpass_cutoff > 0:
+        # noise-shaped waveforms (waveform_dir) were already high-passed in
+        # stage 3 — filtering twice would double the cutoff attenuation
+        if highpass_cutoff > 0 and waveform_dir is None:
             from shallow_wavenet_tpu.ops.filters import highpass
 
             wav = highpass(wav, sample_rate or sr, highpass_cutoff)

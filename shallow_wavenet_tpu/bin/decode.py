@@ -78,7 +78,7 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None):
                                minval=1e-7, maxval=1.0 - 1e-7)
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
-                      and pallas_supported(cfg.model))
+                      and pallas_supported(cfg.model, batch=len(utts)))
     if use_pallas:
         wav = np.asarray(generate_pallas(pp, cfg.model, c_up, noise=noise))
     else:

@@ -52,7 +52,11 @@ def main(argv=None):
     utts = process_shard(utts)
     log.info("loaded %d utterances (this process)", len(utts))
 
-    global_batch = cfg.data.batch_size * (mesh.size if mesh is not None else 1)
+    # per-PROCESS batch: this host assembles only the rows its own devices
+    # consume (mesh.local_mesh covers exactly those)
+    global_batch = cfg.data.batch_size * (
+        mesh.local_mesh.size if mesh is not None else 1
+    )
     sampler = SegmentSampler(
         utts, batch_size=global_batch,
         segment_length=cfg.data.segment_length,

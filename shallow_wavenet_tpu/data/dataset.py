@@ -19,10 +19,6 @@ from pathlib import Path
 
 import numpy as np
 
-from shallow_wavenet_tpu.data.audio_io import read_wav
-from shallow_wavenet_tpu.data.hdf5_io import read_hdf5
-
-
 def read_file_list(path: str | Path) -> list[str]:
     """One path (or `id path`) per line; '#' comments and blanks skipped."""
     out = []
@@ -45,17 +41,6 @@ class Utterance:
     wav: np.ndarray          # (T,) float32
     feats: np.ndarray        # (F_frames, n_mels) float32, already normalized
     speaker: int = 0
-
-
-def load_utterance(wav_path: str, feat_path: str, feat_key: str = "feats",
-                   stats: tuple[np.ndarray, np.ndarray] | None = None,
-                   speaker: int = 0) -> Utterance:
-    wav, _sr = read_wav(wav_path)
-    feats = read_hdf5(feat_path, feat_key).astype(np.float32)
-    if stats is not None:
-        mean, std = stats
-        feats = (feats - mean) / np.maximum(std, 1e-8)
-    return Utterance(wav=wav.astype(np.float32), feats=feats, speaker=speaker)
 
 
 class SegmentSampler:

@@ -44,14 +44,16 @@ from shallow_wavenet_tpu.models.generate import seed_feedback
 
 def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8,
                         chunk: int = 512) -> int:
-    """fp32 VMEM footprint: resident weights + ring buffers + streamed
-    cond/noise/out blocks (double-buffered by the pipeline)."""
+    """fp32 VMEM footprint: resident weights (at the lane-padded gate width
+    actually shipped to the kernel) + ring buffers + streamed cond/noise/out
+    blocks (double-buffered by the pipeline)."""
     L = len(cfg.dilations)
     D = int(max(cfg.dilations))
-    R, G, S, C = (cfg.residual_channels, cfg.gate_channels,
-                  cfg.skip_channels, cfg.cond_channels)
+    R, S, C = cfg.residual_channels, cfg.skip_channels, cfg.cond_channels
+    gp = _gate_pad(cfg.gate_channels // 2)
     Q = cfg.quantize_channels
-    w = L * (2 * R * G + C * G + (G // 2) * R + (G // 2) * S) + S * S + S * Q
+    w = (L * (2 * R * 2 * gp + C * 2 * gp + gp * R + gp * S)
+         + S * S + S * Q)
     if cfg.head == "softmax":
         w += Q * R
     bufs = L * D * batch * R
@@ -63,14 +65,16 @@ def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8,
 _VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def pallas_supported(cfg: ModelConfig, batch: int = 8) -> bool:
+def pallas_supported(cfg: ModelConfig, batch: int = 8,
+                     chunk: int = 512) -> bool:
     """The kernel covers both heads, kernel_size 2, power-of-two max
     dilation (true for 2**i schedules), and models whose weights + ring
-    buffers fit the VMEM budget (the deep baseline config exceeds it and
-    decodes via the lax.scan path instead)."""
+    buffers fit the VMEM budget at the ACTUAL generation batch/chunk (the
+    deep baseline config exceeds it and decodes via the lax.scan path
+    instead). Callers must pass the real batch size."""
     d = max(cfg.dilations)
     return (cfg.kernel_size == 2 and (d & (d - 1)) == 0
-            and vmem_bytes_estimate(cfg, batch) <= _VMEM_BUDGET)
+            and vmem_bytes_estimate(cfg, batch, chunk) <= _VMEM_BUDGET)
 
 
 def _gate_pad(half: int) -> int:
@@ -209,8 +213,12 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     (0,1); generated from `key` when omitted (sample mode).
     """
     B, T, C = c_up.shape
-    if not pallas_supported(cfg):
-        raise ValueError("model config not supported by the Pallas kernel")
+    if not pallas_supported(cfg, batch=B, chunk=chunk):
+        raise ValueError(
+            f"model config/batch not supported by the Pallas kernel "
+            f"(VMEM estimate {vmem_bytes_estimate(cfg, B, chunk) >> 20} MB "
+            f"> {_VMEM_BUDGET >> 20} MB budget) — use the lax.scan path"
+        )
     L = len(cfg.dilations)
     D = int(max(cfg.dilations))
     R = cfg.residual_channels

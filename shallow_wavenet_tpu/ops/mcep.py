@@ -59,9 +59,11 @@ def spectrum_to_mcep(log_mag, order: int, alpha: float):
     n_fft = 2 * (n_bins - 1)
     cep = jnp.fft.irfft(log_mag, n=n_fft, axis=-1)
     m1 = n_fft // 2
-    # minimum-phase doubling: h0 = c0, hk = 2 ck (k >= 1)
+    # minimum-phase doubling: h0 = c0, hk = 2 ck (1 <= k < m1), and the
+    # Nyquist coefficient h[m1] = c[m1] (it has no mirrored partner)
     h = cep[..., : m1 + 1] * 2.0
     h = h.at[..., 0].multiply(0.5)
+    h = h.at[..., m1].multiply(0.5)
     w = jnp.asarray(freqt_matrix(m1, order, float(alpha)))
     return h @ w
 

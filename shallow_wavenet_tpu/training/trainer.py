@@ -9,8 +9,9 @@ TPU-first notes:
   this is the TPU-native equivalent of the reference's (absent) NCCL path
   (SURVEY.md §2.2, §5.8). Single-device runs use the same code with a
   1-device mesh.
-- Checkpoint/resume via Orbax: params, opt state, step, RNG key, and the
-  data-iterator state (SURVEY.md §5.4).
+- Checkpoint/resume via Orbax: params, opt state, step, and the data
+  iterator's RNG state (SURVEY.md §5.4 — the sampler state IS the run's
+  random stream; the train step itself is deterministic).
 """
 
 from __future__ import annotations
@@ -41,7 +42,6 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jnp.ndarray
-    rng: jnp.ndarray
 
 
 class Trainer:
@@ -61,6 +61,7 @@ class Trainer:
             else optax.adam(sched),
         )
         self._jit_step = None
+        self._jit_loss = None
 
     # ---- init ------------------------------------------------------------
     def init_state(self, seed: int | None = None) -> TrainState:
@@ -86,7 +87,6 @@ class Trainer:
             params=params,
             opt_state=self.tx.init(params),
             step=jnp.zeros((), jnp.int32),
-            rng=jax.random.key_data(jax.random.key(seed + 1)),
         )
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
@@ -155,12 +155,19 @@ class Trainer:
         if self.mesh is None:
             return jax.tree.map(jnp.asarray, batch)
         data = NamedSharding(self.mesh, P(self.cfg.mesh.data_axis))
+        if jax.process_count() > 1:
+            # each host supplies only its local rows (batch is per-process;
+            # SURVEY.md §5.8 per-process data loading)
+            return {k: jax.make_array_from_process_local_data(data, v)
+                    for k, v in batch.items()}
         return {k: jax.device_put(v, data) for k, v in batch.items()}
 
     # ---- eval ------------------------------------------------------------
     def eval_loss(self, state: TrainState, batches: list[dict]) -> float:
-        f = jax.jit(self._loss_fn)
-        losses = [float(f(state.params, self.shard_batch(b))) for b in batches]
+        if self._jit_loss is None:
+            self._jit_loss = jax.jit(self._loss_fn)
+        losses = [float(self._jit_loss(state.params, self.shard_batch(b)))
+                  for b in batches]
         return float(np.mean(losses))
 
     # ---- checkpointing ---------------------------------------------------
@@ -175,9 +182,14 @@ class Trainer:
 
     def save(self, mngr: ocp.CheckpointManager, state: TrainState,
              sampler_state: dict | None = None) -> None:
-        payload = {"state": ocp.args.StandardSave(state)}
-        if sampler_state is not None:
-            payload["sampler"] = ocp.args.JsonSave(_json_safe(sampler_state))
+        # the sampler item is always present ({} when the iterator exposes
+        # no state) so restore() never has to guess the checkpoint layout
+        payload = {
+            "state": ocp.args.StandardSave(state),
+            "sampler": ocp.args.JsonSave(
+                _json_safe(sampler_state) if sampler_state is not None else {}
+            ),
+        }
         mngr.save(int(state.step), args=ocp.args.Composite(**payload))
 
     def restore(self, workdir: str | Path, state: TrainState
@@ -196,7 +208,8 @@ class Trainer:
             ),
         )
         log.info("restored checkpoint at step %d", latest)
-        return restored["state"], restored.get("sampler"), latest
+        sampler_state = restored.get("sampler") or None
+        return restored["state"], sampler_state, latest
 
     # ---- the loop --------------------------------------------------------
     def fit(self, state: TrainState, sampler: Iterator[dict],
