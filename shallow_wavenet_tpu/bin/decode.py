@@ -77,10 +77,15 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None):
     noise = jax.random.uniform(key, (c_up.shape[0], c_up.shape[1]),
                                minval=1e-7, maxval=1.0 - 1e-7)
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and pallas_supported(cfg.model, batch=len(utts)))
-    if use_pallas:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and pallas_supported(cfg.model, batch=len(utts)):
         wav = np.asarray(generate_pallas(pp, cfg.model, c_up, noise=noise))
+    elif use_pallas and pallas_supported(cfg.model, batch=len(utts),
+                                         chunk=256, dtype="bfloat16"):
+        # deep models exceed VMEM in fp32; the bf16 kernel is validated
+        # teacher-forced against the fp32 stack (tests/test_pallas_ar.py)
+        wav = np.asarray(generate_pallas(pp, cfg.model, c_up, noise=noise,
+                                         chunk=256, dtype="bfloat16"))
     else:
         wav = np.asarray(generate_fast(pp, cfg.model, c_up, key, noise=noise))
     return [wav[i, : n_samples[i]] for i in range(len(utts))]

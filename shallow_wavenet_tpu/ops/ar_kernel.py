@@ -5,24 +5,36 @@ states in VMEM").
 
 Design (see also models/generate.py — the lax.scan twin of this step):
 - One pallas_call; grid over output-sample CHUNKS. TPU grid steps run
-  sequentially on a core, so VMEM scratch (the per-layer dilation ring
-  buffers + feedback sample) persists across grid steps — the kernel is
-  "persistent" while conditioning/noise stream in and samples stream out
-  per chunk through the automatic BlockSpec pipeline (double-buffered DMA
-  overlaps the AR compute).
-- All layer weights live in VMEM for the whole generation (few MB for the
-  shallow model) — zero HBM traffic in the per-sample critical path.
-- The kernel-2 dilated conv is two (B, R) @ (R, G) MXU contractions per
-  layer; the conditioning contribution of ALL layers is one
-  (B, C) @ (C, L*G) matmul per sample (weights pre-concatenated), sliced
-  per layer — one MXU op instead of L.
-- Ring buffers: (L, D, B, R) with D = max dilation (a power of two), write
-  slot t & (D-1), read slot (t - d_l) & (D-1); zero history == the zero
-  left-padding of teacher-forced training.
+  sequentially on a core, so VMEM scratch (the dilation ring buffers +
+  feedback sample) persists across grid steps — the kernel is "persistent"
+  while conditioning/noise stream in and samples stream out per chunk
+  through the automatic BlockSpec pipeline (double-buffered DMA overlaps
+  the AR compute).
+- All layer weights live in VMEM for the whole generation — zero HBM
+  traffic in the per-sample critical path.
+- Ring buffers are EXACT per-layer size packed flat: layer l owns slots
+  [off_l, off_l + d_l) of a (sum_d, B, R) scratch; at step t its slot is
+  off_l + (t & (d_l - 1)), which is read (value from t - d_l) then
+  overwritten with the layer input at t. Total state = sum of dilations —
+  5x smaller than a uniform max-dilation layout, which is what lets the
+  deep config fit.
+- The kernel-2 dilated conv is two (B, R) @ (R, 2*gp) MXU contractions per
+  layer with the gate halves padded to 128-lane boundaries (sub-tile lane
+  slicing costs ~25% step time); the conditioning contribution of ALL
+  layers is one (B, C) @ (C, L*2*gp) matmul per sample.
 - Sampling happens in-kernel from ONE uniform per step (Laplace inverse
-  CDF / categorical inverse CDF); the uniforms stream in as an input so
-  the scan and naive backends can consume the identical noise — the
-  fast==naive==pallas equivalence tests rely on this.
+  CDF / categorical inverse CDF via a triangular-matrix matmul — cumsum
+  has no Mosaic lowering); the uniforms stream in as an input so the scan
+  and naive backends consume identical noise — the fast==naive==pallas
+  equivalence tests rely on this.
+- `dtype="bfloat16"` keeps weights + ring buffers in bf16 (fp32 MXU
+  accumulation, fp32 head/sampling): halves VMEM so the deep baseline
+  fits; validated against the fp32 stack with teacher forcing (not
+  bit-exact — fp32 is the default and IS bit-exact vs lax.scan).
+- `teacher` mode forces the feedback stream from a given waveform: output
+  at t is the sample drawn given the TRUE history. No feedback loop means
+  no chaotic divergence, so reduced-precision variants can be validated
+  against the teacher-forced flax stack at tolerance.
 
 Cited behaviour: reference decode.py's per-sample Python loop over CUDA
 kernels (SURVEY.md §3.4) is what this kernel replaces.
@@ -39,16 +51,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from shallow_wavenet_tpu.config import ModelConfig
-from shallow_wavenet_tpu.models.generate import seed_feedback
 
 
-def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8,
-                        chunk: int = 512) -> int:
-    """fp32 VMEM footprint: resident weights (at the lane-padded gate width
-    actually shipped to the kernel) + ring buffers + streamed cond/noise/out
-    blocks (double-buffered by the pipeline)."""
+def _gate_pad(half: int) -> int:
+    """Pad each gate half to a lane-tile multiple: the tanh/sigmoid split
+    then lands on a 128-lane boundary instead of forcing sub-tile lane
+    slicing in every layer. Zero-padded weight columns/rows keep the real
+    lanes bit-exact."""
+    return max(128, -(-half // 128) * 128)
+
+
+def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
+                        dtype: str = "float32") -> int:
+    """VMEM footprint: resident weights (lane-padded gate width, at the
+    kernel weight dtype) + exact-size ring buffers + streamed
+    cond/noise/out blocks (fp32, double-buffered by the pipeline)."""
+    wb = 2 if dtype == "bfloat16" else 4
     L = len(cfg.dilations)
-    D = int(max(cfg.dilations))
+    sum_d = int(sum(cfg.dilations))
     R, S, C = cfg.residual_channels, cfg.skip_channels, cfg.cond_channels
     gp = _gate_pad(cfg.gate_channels // 2)
     Q = cfg.quantize_channels
@@ -56,52 +76,47 @@ def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8,
          + S * S + S * Q)
     if cfg.head == "softmax":
         w += Q * R
-    bufs = L * D * batch * R
-    stream = 2 * chunk * batch * (C + 2)   # cond + noise + out, x2 buffers
-    return 4 * (w + bufs + stream)
+    bufs = sum_d * batch * R
+    stream = 2 * chunk * batch * (C + 3)   # cond + noise + teacher + out
+    return wb * (w + bufs) + 4 * stream
 
 
 # v5e VMEM is ~16 MB/core; leave headroom for Mosaic's own temporaries
 _VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def pallas_supported(cfg: ModelConfig, batch: int = 8,
-                     chunk: int = 512) -> bool:
-    """The kernel covers both heads, kernel_size 2, power-of-two max
-    dilation (true for 2**i schedules), and models whose weights + ring
-    buffers fit the VMEM budget at the ACTUAL generation batch/chunk (the
-    deep baseline config exceeds it and decodes via the lax.scan path
-    instead). Callers must pass the real batch size."""
-    d = max(cfg.dilations)
-    return (cfg.kernel_size == 2 and (d & (d - 1)) == 0
-            and vmem_bytes_estimate(cfg, batch, chunk) <= _VMEM_BUDGET)
+def pallas_supported(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
+                     dtype: str = "float32") -> bool:
+    """The kernel covers both heads, kernel_size 2, power-of-two dilations
+    (true for 2**i schedules), and models whose weights + ring buffers fit
+    the VMEM budget at the ACTUAL generation batch/chunk. Callers must pass
+    the real batch size. The deep baseline fits with dtype='bfloat16'."""
+    return (cfg.kernel_size == 2
+            and all(d & (d - 1) == 0 for d in cfg.dilations)
+            and vmem_bytes_estimate(cfg, batch, chunk, dtype) <= _VMEM_BUDGET)
 
 
-def _gate_pad(half: int) -> int:
-    """Pad each gate half to a lane-tile multiple: the tanh/sigmoid split
-    then lands on a 128-lane boundary instead of forcing sub-tile lane
-    slicing in every layer (measured ~25% step-time win). Zero-padded
-    weight columns/rows keep the real lanes bit-exact."""
-    return max(128, -(-half // 128) * 128)
-
-
-def _make_kernel(cfg: ModelConfig, chunk: int, n_chunks: int, batch: int,
-                 mode: str):
+def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
+                 use_teacher: bool, wdt):
     L = len(cfg.dilations)
     dil = cfg.dilations
-    D = int(max(dil))
+    offs = np.concatenate([[0], np.cumsum(dil)]).astype(int)
     G = cfg.gate_channels
-    half = G // 2
-    gp = _gate_pad(half)
+    gp = _gate_pad(G // 2)
     S = cfg.skip_channels
     Q = cfg.quantize_channels
     softmax = cfg.head == "softmax"
     log_b_min, log_b_max = cfg.log_b_min, cfg.log_b_max
     mu_law = float(Q - 1)
 
-    def kernel(cond_ref, noise_ref, in_w, in_b, conv_w, conv_b, cond_wcat,
-               res_w, res_b, skip_w, skip_b, h1_w, h1_b, h2_w, h2_b,
-               out_ref, bufs, fb_ref):
+    def kernel(*refs):
+        if use_teacher:
+            (cond_ref, noise_ref, teacher_ref, *wrefs) = refs[:-3]
+        else:
+            (cond_ref, noise_ref, *wrefs) = refs[:-3]
+        (in_w, in_b, conv_w, conv_b, cond_wcat, res_w, res_b, skip_w,
+         skip_b, h1_w, h1_b, h2_w, h2_b) = wrefs
+        out_ref, bufs, fb_ref = refs[-3:]
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -116,47 +131,54 @@ def _make_kernel(cfg: ModelConfig, chunk: int, n_chunks: int, batch: int,
 
         def body(tt, _):
             t = i * chunk + tt
-            x_prev = fb_ref[0, :]                        # (B,)
+            if use_teacher:
+                x_prev = teacher_ref[tt, :]              # (B,) forced
+            else:
+                x_prev = fb_ref[0, :]                    # (B,) AR feedback
             c_t = cond_ref[tt]                           # (B, C)
-            cc = jnp.dot(c_t, cond_wcat[:],
-                         preferred_element_type=jnp.float32)  # (B, L*G)
+            cc = jnp.dot(c_t.astype(wdt), cond_wcat[:],
+                         preferred_element_type=jnp.float32)  # (B, L*2gp)
 
             if softmax:
                 ids = x_prev.astype(jnp.int32)
                 onehot = (jax.lax.broadcasted_iota(
-                    jnp.int32, (batch, Q), 1) == ids[:, None]
-                ).astype(jnp.float32)
+                    jnp.int32, (batch, Q), 1) == ids[:, None]).astype(wdt)
                 h = jnp.dot(onehot, in_w[:],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32).astype(wdt)
             else:
-                h = x_prev[:, None] * in_w[0][None, :] + in_b[:][None, :]
+                h = (x_prev[:, None].astype(wdt) * in_w[0][None, :]
+                     + in_b[:][None, :]).astype(wdt)
 
             skip = jnp.zeros((batch, S), jnp.float32)
             for l in range(L):
-                r_idx = (t + D - dil[l]) & (D - 1)
-                h_prev = bufs[l, r_idx]                  # (B, R)
+                slot = offs[l] + (t & (dil[l] - 1))
+                h_prev = bufs[slot]                      # (B, R) from t-d_l
                 u = (
                     (jnp.dot(h_prev, conv_w[l, 0],
                              preferred_element_type=jnp.float32)
                      + jnp.dot(h, conv_w[l, 1],
                                preferred_element_type=jnp.float32))
-                    + conv_b[l][None, :]
+                    + conv_b[l][None, :].astype(jnp.float32)
                 ) + cc[:, l * 2 * gp:(l + 1) * 2 * gp]
-                z = jnp.tanh(u[:, :gp]) * jax.nn.sigmoid(u[:, gp:])
-                bufs[l, t & (D - 1)] = h
-                h = h + (jnp.dot(z, res_w[l],
-                                 preferred_element_type=jnp.float32)
-                         + res_b[l][None, :])
+                z = (jnp.tanh(u[:, :gp])
+                     * jax.nn.sigmoid(u[:, gp:])).astype(wdt)
+                bufs[slot] = h
+                h = (h.astype(jnp.float32)
+                     + (jnp.dot(z, res_w[l],
+                                preferred_element_type=jnp.float32)
+                        + res_b[l][None, :].astype(jnp.float32))
+                     ).astype(wdt)
                 skip = skip + (jnp.dot(z, skip_w[l],
                                        preferred_element_type=jnp.float32)
-                               + skip_b[l][None, :])
+                               + skip_b[l][None, :].astype(jnp.float32))
 
-            o = jax.nn.relu(skip)
-            o = jax.nn.relu(jnp.dot(o, h1_w[:],
-                                    preferred_element_type=jnp.float32)
-                            + h1_b[:][None, :])
-            o = jnp.dot(o, h2_w[:],
-                        preferred_element_type=jnp.float32) + h2_b[:][None, :]
+            o = jax.nn.relu(skip).astype(wdt)
+            o = jax.nn.relu(
+                jnp.dot(o, h1_w[:], preferred_element_type=jnp.float32)
+                + h1_b[:][None, :].astype(jnp.float32)
+            ).astype(wdt)
+            o = (jnp.dot(o, h2_w[:], preferred_element_type=jnp.float32)
+                 + h2_b[:][None, :].astype(jnp.float32))
 
             if softmax:
                 if mode == "greedy":
@@ -164,8 +186,8 @@ def _make_kernel(cfg: ModelConfig, chunk: int, n_chunks: int, batch: int,
                 else:
                     u_t = noise_ref[tt, :]
                     p = jax.nn.softmax(o, axis=-1)
-                    # cumsum has no Mosaic lowering; cdf = p @ upper-tri ones
-                    # is one (B,Q)@(Q,Q) MXU op
+                    # cumsum has no Mosaic lowering; cdf = p @ upper-tri
+                    # ones is one (B,Q)@(Q,Q) MXU op
                     tri = (jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)
                            <= jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)
                            ).astype(jnp.float32)
@@ -202,27 +224,34 @@ def _make_kernel(cfg: ModelConfig, chunk: int, n_chunks: int, batch: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mode", "chunk", "interpret"),
+    static_argnames=("cfg", "mode", "chunk", "interpret", "dtype"),
 )
 def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
                     mode: str = "sample", noise=None, chunk: int = 512,
-                    interpret: bool = False):
+                    interpret: bool = False, dtype: str = "float32",
+                    teacher=None):
     """Persistent-kernel AR generation; same contract as generate_fast.
 
     c_up (B, T, C) fp32; returns (B, T) fp32. `noise` (B, T) uniforms in
     (0,1); generated from `key` when omitted (sample mode).
+    dtype: kernel weight/ring-buffer dtype ("float32" is bit-exact vs the
+    scan path; "bfloat16" halves VMEM — fits the deep config).
+    teacher: optional (B, T) forced feedback stream (float samples, or
+    class ids as floats for the softmax head) — teacher-forced scoring.
     """
     B, T, C = c_up.shape
-    if not pallas_supported(cfg, batch=B, chunk=chunk):
+    if not pallas_supported(cfg, batch=B, chunk=chunk, dtype=dtype):
         raise ValueError(
             f"model config/batch not supported by the Pallas kernel "
-            f"(VMEM estimate {vmem_bytes_estimate(cfg, B, chunk) >> 20} MB "
+            f"(VMEM estimate "
+            f"{vmem_bytes_estimate(cfg, B, chunk, dtype) >> 20} MB "
             f"> {_VMEM_BUDGET >> 20} MB budget) — use the lax.scan path"
         )
     L = len(cfg.dilations)
-    D = int(max(cfg.dilations))
+    sum_d = int(sum(cfg.dilations))
     R = cfg.residual_channels
     G = cfg.gate_channels
+    wdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 
     if chunk % 128 != 0:
         raise ValueError("chunk must be a multiple of 128 (lane tiling)")
@@ -241,10 +270,11 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
                             constant_values=0.5)
     else:
         noise = jnp.full((B, T_pad), 0.5, jnp.float32)
-    # time-major layouts: the per-sample dynamic index must not land on the
-    # minor (lane) dim — Mosaic requires 128-multiple lane offsets
-    c_up = jnp.transpose(c_up, (1, 0, 2))     # (T, B, C)
-    noise = jnp.transpose(noise, (1, 0))      # (T, B)
+    if teacher is not None and teacher.shape[1] != T_pad:
+        teacher = jnp.pad(
+            teacher.astype(jnp.float32),
+            ((0, 0), (0, T_pad - teacher.shape[1])),
+        )
 
     if cfg.head == "softmax":
         in_w = pp["input_embed"]            # (Q, R)
@@ -276,7 +306,7 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
         skip_w = jnp.pad(skip_w, pad_rows)
     cond_wcat = jnp.transpose(cond_w, (1, 0, 2)).reshape(C, L * 2 * gp)
 
-    kernel = _make_kernel(cfg, chunk, n_chunks, B, mode)
+    kernel = _make_kernel(cfg, chunk, B, mode, teacher is not None, wdt)
 
     def wspec(shape):
         nd = len(shape)
@@ -286,24 +316,35 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     weights = (in_w, in_b, conv_w, conv_b, cond_wcat,
                res_w, pp["res_b"], skip_w, pp["skip_b"],
                pp["head1_w"], pp["head1_b"], pp["head2_w"], pp["head2_b"])
+    weights = tuple(jnp.asarray(w, wdt) for w in weights)
+
+    # time-major layouts: the per-sample dynamic index must not land on the
+    # minor (lane) dim — Mosaic requires 128-multiple lane offsets
+    inputs = [jnp.transpose(c_up, (1, 0, 2)), jnp.transpose(noise, (1, 0))]
+    in_specs = [
+        pl.BlockSpec((chunk, B, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, B), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if teacher is not None:
+        inputs.append(jnp.transpose(teacher, (1, 0)))
+        in_specs.append(pl.BlockSpec((chunk, B), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    inputs.extend(weights)
+    in_specs.extend(wspec(w.shape) for w in weights)
 
     out = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((chunk, B, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, B), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            *[wspec(w.shape) for w in weights],
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((chunk, B), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T_pad, B), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((L, D, B, R), jnp.float32),   # dilation ring buffers
-            pltpu.VMEM((1, B), jnp.float32),         # feedback sample / id
+            pltpu.VMEM((sum_d, B, R), wdt),    # packed dilation ring buffers
+            pltpu.VMEM((1, B), jnp.float32),   # feedback sample / id
         ],
         interpret=interpret,
-    )(c_up, noise, *weights)
+    )(*inputs)
     return jnp.transpose(out, (1, 0))[:, :T]

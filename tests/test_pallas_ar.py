@@ -63,3 +63,64 @@ def test_pallas_handles_nonmultiple_length():
 def test_pallas_supported_flags():
     assert pallas_supported(tiny_cfg())
     assert not pallas_supported(tiny_cfg(kernel_size=3))
+
+
+def _teacher_expected(m, v, cfg, c_up, teacher, noise):
+    """Oracle: teacher-forced stack outputs + shared-noise sampling."""
+    from shallow_wavenet_tpu.models.generate import _sample
+
+    T = c_up.shape[1]
+    if cfg.head == "softmax":
+        x_in = teacher.astype(jnp.int32)
+    else:
+        x_in = teacher
+    out = m.apply(v, x_in, c_up[:, :T], method="stack")
+    _, x_t = _sample(cfg, out, None, "sample", noise)
+    return np.asarray(x_t)
+
+
+@pytest.mark.parametrize("head", ["softmax", "laplace"])
+def test_teacher_mode_matches_stack(head):
+    """Teacher-forced kernel == teacher-forced flax stack + sampler (no
+    feedback loop -> comparable at fp tolerance)."""
+    cfg, m, v, pp, c_up = setup_gen(head)
+    B, T, _ = c_up.shape
+    key = jax.random.key(4)
+    noise = jax.random.uniform(key, (B, T), minval=1e-6, maxval=1 - 1e-6)
+    if head == "softmax":
+        teacher = jax.random.randint(key, (B, T), 0, 256).astype(jnp.float32)
+    else:
+        teacher = jax.random.uniform(key, (B, T), minval=-1, maxval=1)
+    got = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                     noise=noise, teacher=teacher,
+                                     chunk=128, interpret=True))
+    want = _teacher_expected(m, v, cfg, c_up, teacher, noise)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_bfloat16_kernel_close_to_fp32_teacher_forced():
+    """bf16 weights/buffers variant stays close to the fp32 oracle under
+    teacher forcing (the validation path for reduced-precision kernels)."""
+    cfg, m, v, pp, c_up = setup_gen("laplace")
+    B, T, _ = c_up.shape
+    key = jax.random.key(9)
+    noise = jax.random.uniform(key, (B, T), minval=1e-6, maxval=1 - 1e-6)
+    teacher = jax.random.uniform(key, (B, T), minval=-1, maxval=1)
+    got = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                     noise=noise, teacher=teacher,
+                                     chunk=128, interpret=True,
+                                     dtype="bfloat16"))
+    want = _teacher_expected(m, v, cfg, c_up, teacher, noise)
+    # bf16 mantissa ~3 decimal digits; untrained-model outputs are O(0.1)
+    assert np.abs(got - want).max() < 5e-2
+    assert np.abs(got - want).mean() < 1e-2
+
+
+def test_deep_config_supported_in_bf16():
+    from shallow_wavenet_tpu.config import get_config
+    from shallow_wavenet_tpu.ops.ar_kernel import vmem_bytes_estimate
+
+    deep = get_config("deep_baseline").model
+    assert not pallas_supported(deep, batch=4)
+    assert pallas_supported(deep, batch=4, chunk=256, dtype="bfloat16"), \
+        vmem_bytes_estimate(deep, 4, 256, "bfloat16")
