@@ -95,9 +95,16 @@ class Trainer:
 
     # ---- the step --------------------------------------------------------
     def _loss_fn(self, params, batch):
+        import chex
+
         cfg = self.cfg
         x = batch["x"]                         # (B, R+L) float waveform
         cond = batch["cond"]                   # (B, (R+L)/H, F)
+        # shape/dtype guards (SURVEY.md §5.2) — trace-time, zero runtime cost
+        chex.assert_rank([x, cond], [2, 3])
+        chex.assert_type([x, cond], jnp.float32)
+        chex.assert_equal(cond.shape[1] * self.cfg.data.hop_length, x.shape[1])
+        chex.assert_equal(cond.shape[2], cfg.model.aux_channels)
         spk = batch.get("speaker") if cfg.model.n_speakers > 0 else None
         if cfg.model.head == "softmax":
             q = mulaw_quantize(x, cfg.model.quantize_channels)
