@@ -129,12 +129,12 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
             else:
                 fb_ref[...] = jnp.zeros_like(fb_ref)
 
-        def body(tt, _):
+        def body(tt, fb_carry):
             t = i * chunk + tt
             if use_teacher:
                 x_prev = teacher_ref[tt, :]              # (B,) forced
             else:
-                x_prev = fb_ref[0, :]                    # (B,) AR feedback
+                x_prev = fb_carry                        # (B,) AR feedback
             c_t = cond_ref[tt]                           # (B, C)
             cc = jnp.dot(c_t.astype(wdt), cond_wcat[:],
                          preferred_element_type=jnp.float32)  # (B, L*2gp)
@@ -214,10 +214,11 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
                 fb = x_t
 
             out_ref[tt, :] = x_t
-            fb_ref[0, :] = fb
-            return 0
+            return fb
 
-        jax.lax.fori_loop(0, chunk, body, 0)
+        # feedback rides the loop carry; the VMEM scratch only bridges
+        # chunk boundaries
+        fb_ref[0, :] = jax.lax.fori_loop(0, chunk, body, fb_ref[0, :])
 
     return kernel
 
