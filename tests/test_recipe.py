@@ -75,3 +75,23 @@ def test_recipe_stage_resume(tmp_path):
     recs = [json.loads(l) for l in
             (tmp_path / "model/metrics.jsonl").read_text().splitlines()]
     assert recs[-1]["step"] == 5
+
+
+def test_config_file_roundtrip(tmp_path):
+    """--config file.json drives the CLIs identically to --preset (config
+    serde, SURVEY.md §5.6)."""
+    from shallow_wavenet_tpu.config import Config, get_config
+
+    cfg = get_config("shallow_softmax_single", [o for o in TINY])
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(cfg.to_json())
+    back = Config.from_json(cfg_path.read_text())
+    assert back.to_dict() == cfg.to_dict()
+
+    run_cli.main([
+        "--preset", "shallow_softmax_single",  # ignored when --config given
+        "--config", str(cfg_path), "--workdir", str(tmp_path),
+        "--stage", "0", "--stop-stage", "2", "--steps", "1",
+        "--n-train", "2", "--n-eval", "1",
+    ])
+    assert (tmp_path / "stats.h5").exists()
