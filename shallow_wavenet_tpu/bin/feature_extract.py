@@ -24,10 +24,7 @@ from shallow_wavenet_tpu.data.hdf5_io import write_hdf5
 log = logging.getLogger("feature_extract")
 
 
-def extract_one(wav_path: str, cfg) -> np.ndarray:
-    import jax.numpy as jnp
-    from shallow_wavenet_tpu.ops import log_mel_spectrogram
-
+def extract_one(wav_path: str, cfg, numpy_only: bool = False) -> np.ndarray:
     wav, sr = read_wav(wav_path)
     if sr != cfg.data.sample_rate:
         raise ValueError(
@@ -38,14 +35,19 @@ def extract_one(wav_path: str, cfg) -> np.ndarray:
 
         wav = highpass(wav, sr, cfg.data.highpass_cutoff)
     n_frames = len(wav) // cfg.data.hop_length
-    x = jnp.asarray(wav)
     if cfg.data.feature_type == "world":
+        if numpy_only:
+            raise ValueError("world features need the jax path "
+                             "(--num-workers 1)")
+        import jax.numpy as jnp
+
         # WORLD-equivalent path (C12): log-F0 + vuv + mcep + band ap
         from shallow_wavenet_tpu.ops.f0 import (
             band_aperiodicity, estimate_f0, log_f0,
         )
         from shallow_wavenet_tpu.ops.mcep import mcep_analysis
 
+        x = jnp.asarray(wav)
         f0, vuv = estimate_f0(x, sr, cfg.data.hop_length,
                               f0_min=cfg.data.f0_min, f0_max=cfg.data.f0_max)
         lf0 = log_f0(f0, vuv)
@@ -59,17 +61,62 @@ def extract_one(wav_path: str, cfg) -> np.ndarray:
             [lf0[:n, None], vuv[:n, None], mc[:n], bap[:n]], axis=-1
         )
         return np.asarray(feats)
+    if numpy_only:
+        # pooled workers: pure-numpy mirror, no jax import (spawn-cheap)
+        from shallow_wavenet_tpu.ops.stft import log_mel_spectrogram_np
+
+        return log_mel_spectrogram_np(
+            wav, sr, cfg.data.n_fft, cfg.data.hop_length,
+            cfg.data.win_length, cfg.data.n_mels, cfg.data.fmin,
+            cfg.data.fmax,
+        )[:n_frames]
+    import jax.numpy as jnp
+
+    from shallow_wavenet_tpu.ops import log_mel_spectrogram
+
     mel = log_mel_spectrogram(
-        x, sr, cfg.data.n_fft, cfg.data.hop_length,
+        jnp.asarray(wav), sr, cfg.data.n_fft, cfg.data.hop_length,
         cfg.data.win_length, cfg.data.n_mels, cfg.data.fmin, cfg.data.fmax,
     )
     return np.asarray(mel)[:n_frames]
+
+
+class _cpu_worker_env:
+    """Spawned children inherit env at creation: strip accelerator plugin
+    vars so workers never try to claim the (single) TPU the parent or a
+    training job may hold."""
+
+    _VARS = ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS", "TPU_NAME")
+
+    def __enter__(self):
+        import os
+
+        self._saved = {v: os.environ.pop(v) for v in self._VARS
+                       if v in os.environ}
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        return self
+
+    def __exit__(self, *exc):
+        import os
+
+        os.environ.pop("JAX_PLATFORMS", None)
+        os.environ.update(self._saved)
+
+
+def _process_one(wp: str, cfg, outdir: str,
+                 numpy_only: bool = False) -> tuple[str, tuple]:
+    feats = extract_one(wp, cfg, numpy_only=numpy_only)
+    write_hdf5(feats_path_for(wp, outdir), "feats", feats)
+    return wp, feats.shape
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--wav-scp", required=True)
     p.add_argument("--outdir", required=True)
+    p.add_argument("--num-workers", type=int, default=1,
+                   help="multiprocessing pool size (the reference's "
+                        "per-utterance pool, SURVEY.md §3.2)")
     add_config_args(p)
     args = p.parse_args(argv)
     setup_logging()
@@ -77,10 +124,24 @@ def main(argv=None):
 
     paths = read_file_list(args.wav_scp)
     Path(args.outdir).mkdir(parents=True, exist_ok=True)
-    for wp in paths:
-        feats = extract_one(wp, cfg)
-        write_hdf5(feats_path_for(wp, args.outdir), "feats", feats)
-        log.info("%s -> %s %s", wp, feats_path_for(wp, args.outdir), feats.shape)
+    if args.num_workers > 1:
+        import functools
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")  # fork breaks jax runtimes
+        with _cpu_worker_env(), ctx.Pool(args.num_workers) as pool:
+            for wp, shape in pool.map(
+                functools.partial(_process_one, cfg=cfg, outdir=args.outdir,
+                                  numpy_only=True),
+                paths,
+            ):
+                log.info("%s -> %s %s", wp, feats_path_for(wp, args.outdir),
+                         shape)
+    else:
+        for wp in paths:
+            _, shape = _process_one(wp, cfg, args.outdir)
+            log.info("%s -> %s %s", wp, feats_path_for(wp, args.outdir),
+                     shape)
     log.info("extracted %d utterances", len(paths))
 
 

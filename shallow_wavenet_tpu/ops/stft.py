@@ -76,3 +76,23 @@ def log_mel_spectrogram(x, sample_rate: int, n_fft: int, hop_length: int,
     fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax))
     mel = jnp.maximum(mag ** 2 @ fb, eps)
     return jnp.log10(mel)
+
+
+def log_mel_spectrogram_np(x: np.ndarray, sample_rate: int, n_fft: int,
+                           hop_length: int, win_length: int, n_mels: int,
+                           fmin: float = 0.0, fmax: float | None = None,
+                           eps: float = 1e-10) -> np.ndarray:
+    """Pure-numpy mirror of log_mel_spectrogram for pooled CPU workers
+    (no jax import — spawn-cheap; parity-tested against the jnp path)."""
+    pad = win_length // 2
+    xp = np.pad(np.asarray(x, np.float32), (pad, pad), mode="reflect")
+    n_frames = 1 + (len(xp) - win_length) // hop_length
+    starts = np.arange(n_frames) * hop_length
+    frames = xp[starts[:, None] + np.arange(win_length)[None, :]]
+    frames = frames * np.hanning(win_length + 1)[:-1].astype(np.float32)
+    if win_length < n_fft:
+        extra = n_fft - win_length
+        frames = np.pad(frames, ((0, 0), (extra // 2, extra - extra // 2)))
+    mag = np.abs(np.fft.rfft(frames, n=n_fft, axis=-1))
+    fb = mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
+    return np.log10(np.maximum(mag.astype(np.float32) ** 2 @ fb, eps))

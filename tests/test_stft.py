@@ -56,3 +56,15 @@ def test_batched_matches_single():
         log_mel_spectrogram(jnp.asarray(x), SR, NFFT, HOP, WIN, NMELS) for x in xs
     ])
     np.testing.assert_allclose(batched, single, rtol=1e-5, atol=1e-5)
+
+
+def test_numpy_mirror_matches_jnp():
+    """log_mel_spectrogram_np (pooled-worker path) == jnp implementation."""
+    from shallow_wavenet_tpu.ops.stft import log_mel_spectrogram_np
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(SR // 2).astype(np.float32)
+    a = np.asarray(log_mel_spectrogram(jnp.asarray(x), SR, NFFT, HOP, WIN,
+                                       NMELS, 40.0, 7600.0))
+    b = log_mel_spectrogram_np(x, SR, NFFT, HOP, WIN, NMELS, 40.0, 7600.0)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
