@@ -84,16 +84,25 @@ def main():
 
         gen = lambda: generate_fast(pp, mc, c_up, jax.random.key(1))
 
+    def sync(x):
+        # On the tunnel-attached axon platform block_until_ready can return
+        # before execution finishes; a D2H fetch of the result is the only
+        # reliable completion barrier. Pull one full row (depends on the
+        # whole AR chain for that utterance).
+        np.asarray(x[0])
+        return x
+
     log(f"backend={backend}; warmup compile...")
     t0 = time.time()
-    wav = gen()
-    wav.block_until_ready()
+    wav = sync(gen())
     log(f"warmup (incl. compile): {time.time() - t0:.1f}s")
 
-    t0 = time.time()
-    wav = gen()
-    wav.block_until_ready()
-    wall = time.time() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        wav = sync(gen())
+        best = min(best, time.time() - t0)
+    wall = best
 
     assert wav.shape == (BATCH, t_samples), wav.shape
     assert bool(jnp.all(jnp.isfinite(wav))), "non-finite samples"

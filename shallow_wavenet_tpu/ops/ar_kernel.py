@@ -76,7 +76,7 @@ def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
          + S * S + S * Q)
     if cfg.head == "softmax":
         w += Q * R
-    bufs = sum_d * batch * R
+    bufs = (sum_d + 1) * batch * R   # ring buffers + encoded-feedback carry
     stream = 2 * chunk * batch * (C + 3)   # cond + noise + teacher + out
     return wb * (w + bufs) + 4 * stream
 
@@ -107,7 +107,8 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
     Q = cfg.quantize_channels
     softmax = cfg.head == "softmax"
     log_b_min, log_b_max = cfg.log_b_min, cfg.log_b_max
-    mu_law = float(Q - 1)
+
+    R = cfg.residual_channels
 
     def kernel(*refs):
         if use_teacher:
@@ -119,35 +120,44 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
         out_ref, bufs, fb_ref = refs[-3:]
         i = pl.program_id(0)
 
-        @pl.when(i == 0)
-        def _init():
-            bufs[...] = jnp.zeros_like(bufs)
-            if softmax:
-                # mulaw_quantize(0.0) == Q // 2 (matches seed_feedback)
-                fb_ref[...] = jnp.full(fb_ref.shape, float(Q // 2),
-                                       fb_ref.dtype)
-            else:
-                fb_ref[...] = jnp.zeros_like(fb_ref)
-
-        def body(tt, fb_carry):
-            t = i * chunk + tt
-            if use_teacher:
-                x_prev = teacher_ref[tt, :]              # (B,) forced
-            else:
-                x_prev = fb_carry                        # (B,) AR feedback
-            c_t = cond_ref[tt]                           # (B, C)
-            cc = jnp.dot(c_t.astype(wdt), cond_wcat[:],
-                         preferred_element_type=jnp.float32)  # (B, L*2gp)
-
+        def encode(x_prev):
+            """Input encode of the feedback sample (class ids as floats for
+            the softmax head) -> (B, R). Same ops/order as the scan path's
+            _input_encode, so fp32 stays bit-exact vs generate_fast."""
             if softmax:
                 ids = x_prev.astype(jnp.int32)
                 onehot = (jax.lax.broadcasted_iota(
                     jnp.int32, (batch, Q), 1) == ids[:, None]).astype(wdt)
-                h = jnp.dot(onehot, in_w[:],
-                            preferred_element_type=jnp.float32).astype(wdt)
+                return jnp.dot(onehot, in_w[:],
+                               preferred_element_type=jnp.float32).astype(wdt)
+            return (x_prev[:, None].astype(wdt) * in_w[0][None, :]
+                    + in_b[:][None, :]).astype(wdt)
+
+        @pl.when(i == 0)
+        def _init():
+            bufs[...] = jnp.zeros_like(bufs)
+            # encoded seed input (silence): the feedback carry holds the
+            # ENCODED (B, R) input rather than the raw (B,) sample — Mosaic
+            # (2026-08 libtpu) miscompiles rank-1 loop carries bridged
+            # through scratch, and the encoded form is 2-D tile-friendly.
+            if softmax:
+                # mulaw_quantize(0.0) == Q // 2 (matches seed_feedback):
+                # one-hot dot == that embedding row, exactly
+                fb_ref[...] = jnp.broadcast_to(
+                    in_w[pl.ds(Q // 2, 1), :], (batch, R))
             else:
-                h = (x_prev[:, None].astype(wdt) * in_w[0][None, :]
-                     + in_b[:][None, :]).astype(wdt)
+                # encode(0) == 0 * in_w + in_b
+                fb_ref[...] = jnp.zeros((batch, R), wdt) + in_b[:][None, :]
+
+        def body(tt, h_carry):
+            t = i * chunk + tt
+            if use_teacher:
+                h = encode(teacher_ref[tt, :])           # (B, R) forced
+            else:
+                h = h_carry                              # (B, R) AR feedback
+            c_t = cond_ref[tt]                           # (B, C)
+            cc = jnp.dot(c_t.astype(wdt), cond_wcat[:],
+                         preferred_element_type=jnp.float32)  # (B, L*2gp)
 
             skip = jnp.zeros((batch, S), jnp.float32)
             for l in range(L):
@@ -196,11 +206,12 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
                         jnp.sum((cdf < u_t[:, None]).astype(jnp.int32),
                                 axis=-1),
                         0, Q - 1)
-                # mu-law dequantize (bin centre) for the output waveform
-                y = (ids.astype(jnp.float32) + 0.5) * (2.0 / Q) - 1.0
-                x_t = (jnp.sign(y)
-                       * ((1.0 + mu_law) ** jnp.abs(y) - 1.0) / mu_law)
-                fb = ids.astype(jnp.float32)
+                # emit raw class ids; the mu-law dequantize runs OUTSIDE the
+                # kernel with the exact same XLA op as the scan path (Mosaic
+                # lowers `**` with different rounding -> 1-ulp waveform
+                # mismatches if dequantized in-kernel)
+                x_t = ids.astype(jnp.float32)
+                fb = x_t                                 # encoded below
             else:
                 mu = o[:, 0]
                 log_b = jnp.clip(o[:, 1], log_b_min, log_b_max)
@@ -214,11 +225,11 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
                 fb = x_t
 
             out_ref[tt, :] = x_t
-            return fb
+            return encode(fb)
 
-        # feedback rides the loop carry; the VMEM scratch only bridges
-        # chunk boundaries
-        fb_ref[0, :] = jax.lax.fori_loop(0, chunk, body, fb_ref[0, :])
+        # the encoded feedback rides the loop carry; the VMEM scratch only
+        # bridges chunk boundaries (kept 2-D — see _init comment)
+        fb_ref[...] = jax.lax.fori_loop(0, chunk, body, fb_ref[...])
 
     return kernel
 
@@ -344,8 +355,15 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
         out_shape=jax.ShapeDtypeStruct((T_pad, B), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((sum_d, B, R), wdt),    # packed dilation ring buffers
-            pltpu.VMEM((1, B), jnp.float32),   # feedback sample / id
+            pltpu.VMEM((B, R), wdt),           # encoded feedback input
         ],
         interpret=interpret,
     )(*inputs)
-    return jnp.transpose(out, (1, 0))[:, :T]
+    wav = jnp.transpose(out, (1, 0))[:, :T]
+    if cfg.head == "softmax":
+        # kernel emits class ids; dequantize with the same XLA op as the
+        # scan path so the two backends stay bit-exact on hardware
+        from shallow_wavenet_tpu.ops.mulaw import mulaw_dequantize
+
+        wav = mulaw_dequantize(wav.astype(jnp.int32), cfg.quantize_channels)
+    return wav

@@ -1,0 +1,57 @@
+"""On-TPU equivalence check: compiled Pallas kernel == lax.scan path,
+both heads, sample mode, shared noise. Run on real hardware (the pytest
+suite covers the same property in interpreter mode on CPU)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shallow_wavenet_tpu.config import ModelConfig
+from shallow_wavenet_tpu.models import WaveNet, extract_plain_params
+from shallow_wavenet_tpu.models.generate import generate_fast
+from shallow_wavenet_tpu.ops.ar_kernel import generate_pallas
+
+
+def check(head):
+    cfg = ModelConfig(n_stacks=1, stack_size=4, residual_channels=16,
+                      gate_channels=32, skip_channels=32, aux_channels=20,
+                      cond_channels=16, upsample_factors=(2, 5), head=head)
+    model = WaveNet(cfg)
+    rng = np.random.default_rng(0)
+    cpu = jax.devices("cpu")[0]
+    hop = 10
+    with jax.default_device(cpu):
+        if head == "softmax":
+            x0 = jnp.asarray(rng.integers(0, 256, (1, 2 * hop - 1)),
+                             jnp.int32)
+        else:
+            x0 = jnp.asarray(rng.uniform(-1, 1, (1, 2 * hop - 1)),
+                             jnp.float32)
+        c0 = jnp.asarray(rng.standard_normal((1, 2, cfg.aux_channels)),
+                         jnp.float32)
+        v = model.init(jax.random.key(0), x0, c0)
+    v = jax.device_put(v, jax.devices()[0])
+    pp = extract_plain_params(v, cfg)
+    B, T = 8, 300
+    c_up = jnp.asarray(rng.standard_normal((B, T, cfg.cond_channels)),
+                       jnp.float32)
+    noise = jax.random.uniform(jax.random.key(3), (B, T), minval=1e-6,
+                               maxval=1 - 1e-6)
+    fast = np.asarray(generate_fast(pp, cfg, c_up, jax.random.key(0),
+                                    "sample", noise=noise))
+    pal = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                     noise=noise, chunk=128))
+    exact = np.array_equal(fast, pal)
+    md = np.abs(fast - pal).max()
+    print(f"{head}: exact={exact} maxdiff={md:.2e}")
+    return exact
+
+
+if __name__ == "__main__":
+    print(jax.devices())
+    ok = check("laplace") & check("softmax")
+    sys.exit(0 if ok else 1)
