@@ -61,6 +61,12 @@ def _gate_pad(half: int) -> int:
     return max(128, -(-half // 128) * 128)
 
 
+def _skip_pad(s: int) -> int:
+    """Lane-align the skip half of the fused skip|res projection so the res
+    slice starts on a 128-lane boundary."""
+    return -(-s // 128) * 128
+
+
 def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
                         dtype: str = "float32") -> int:
     """VMEM footprint: resident weights (lane-padded gate width, at the
@@ -72,7 +78,7 @@ def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
     R, S, C = cfg.residual_channels, cfg.skip_channels, cfg.cond_channels
     gp = _gate_pad(cfg.gate_channels // 2)
     Q = cfg.quantize_channels
-    w = (L * (2 * R * 2 * gp + C * 2 * gp + gp * R + gp * S)
+    w = (L * (2 * R * 2 * gp + C * 2 * gp + gp * (_skip_pad(S) + R))
          + S * S + S * Q)
     if cfg.head == "softmax":
         w += Q * R
@@ -109,14 +115,15 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
     log_b_min, log_b_max = cfg.log_b_min, cfg.log_b_max
 
     R = cfg.residual_channels
+    sp = _skip_pad(S)
 
     def kernel(*refs):
         if use_teacher:
             (cond_ref, noise_ref, teacher_ref, *wrefs) = refs[:-3]
         else:
             (cond_ref, noise_ref, *wrefs) = refs[:-3]
-        (in_w, in_b, conv_w, conv_b, cond_wcat, res_w, res_b, skip_w,
-         skip_b, h1_w, h1_b, h2_w, h2_b) = wrefs
+        (in_w, in_b, conv_w, conv_b, cond_wcat, rs_w, rs_b,
+         h1_w, h1_b, h2_w, h2_b) = wrefs
         out_ref, bufs, fb_ref = refs[-3:]
         i = pl.program_id(0)
 
@@ -173,14 +180,15 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
                 z = (jnp.tanh(u[:, :gp])
                      * jax.nn.sigmoid(u[:, gp:])).astype(wdt)
                 bufs[slot] = h
-                h = (h.astype(jnp.float32)
-                     + (jnp.dot(z, res_w[l],
-                                preferred_element_type=jnp.float32)
-                        + res_b[l][None, :].astype(jnp.float32))
-                     ).astype(wdt)
-                skip = skip + (jnp.dot(z, skip_w[l],
-                                       preferred_element_type=jnp.float32)
-                               + skip_b[l][None, :].astype(jnp.float32))
+                # fused skip|res projection: one (B,gp)@(gp,Sp+R) MXU op per
+                # layer instead of two — each output column is the identical
+                # dot product, so fp32 stays bit-exact. skip occupies lanes
+                # [0,S); res starts at the 128-aligned offset Sp
+                rs = (jnp.dot(z, rs_w[l],
+                              preferred_element_type=jnp.float32)
+                      + rs_b[l][None, :].astype(jnp.float32))
+                h = (h.astype(jnp.float32) + rs[:, sp:sp + R]).astype(wdt)
+                skip = skip + rs[:, :S]
 
             o = jax.nn.relu(skip).astype(wdt)
             o = jax.nn.relu(
@@ -265,8 +273,11 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     G = cfg.gate_channels
     wdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 
-    if chunk % 128 != 0:
-        raise ValueError("chunk must be a multiple of 128 (lane tiling)")
+    if chunk % 64 != 0:
+        # chunk rides the SUBLANE/major dims of the streamed blocks (they
+        # are time-major: (chunk, B, C) / (chunk, B)), so the hard floor is
+        # the 8-row sublane tile; 64 keeps DMA blocks comfortably sized
+        raise ValueError("chunk must be a multiple of 64")
     n_chunks = -(-T // chunk)
     T_pad = n_chunks * chunk
     if T_pad != T:
@@ -318,6 +329,14 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
         skip_w = jnp.pad(skip_w, pad_rows)
     cond_wcat = jnp.transpose(cond_w, (1, 0, 2)).reshape(C, L * 2 * gp)
 
+    # fused skip|res projection weights: lanes [0,S) = skip, [Sp,Sp+R) = res
+    S = cfg.skip_channels
+    sp = _skip_pad(S)
+    rs_w = jnp.zeros((L, gp, sp + R), skip_w.dtype)
+    rs_w = rs_w.at[:, :, :S].set(skip_w).at[:, :, sp:].set(res_w)
+    rs_b = jnp.zeros((L, sp + R), pp["skip_b"].dtype)
+    rs_b = rs_b.at[:, :S].set(pp["skip_b"]).at[:, sp:].set(pp["res_b"])
+
     kernel = _make_kernel(cfg, chunk, B, mode, teacher is not None, wdt)
 
     def wspec(shape):
@@ -325,8 +344,7 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
         return pl.BlockSpec(shape, lambda i: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    weights = (in_w, in_b, conv_w, conv_b, cond_wcat,
-               res_w, pp["res_b"], skip_w, pp["skip_b"],
+    weights = (in_w, in_b, conv_w, conv_b, cond_wcat, rs_w, rs_b,
                pp["head1_w"], pp["head1_b"], pp["head2_w"], pp["head2_b"])
     weights = tuple(jnp.asarray(w, wdt) for w in weights)
 

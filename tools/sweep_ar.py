@@ -1,0 +1,91 @@
+"""Sweep AR kernel batch/chunk/dtype on the real chip; prints RTF table.
+
+Usage: python tools/sweep_ar.py [preset] [B,chunk,dtype ...]
+Defaults: shallow_laplace_single over a standard grid.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from shallow_wavenet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from shallow_wavenet_tpu.config import get_config
+    from shallow_wavenet_tpu.models import WaveNet, extract_plain_params
+    from shallow_wavenet_tpu.ops.ar_kernel import (
+        generate_pallas, pallas_supported, vmem_bytes_estimate,
+    )
+
+    preset = sys.argv[1] if len(sys.argv) > 1 else "shallow_laplace_single"
+    cfg = get_config(preset)
+    mc = cfg.model
+    sr = cfg.data.sample_rate
+    hop = cfg.data.hop_length
+    n_frames = int(1.0 * sr) // hop
+    t_samples = n_frames * hop
+
+    model = WaveNet(mc)
+    rng = np.random.default_rng(0)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x0 = jnp.asarray(rng.uniform(-1, 1, (1, 2 * hop - 1)), jnp.float32)
+        c0 = jnp.asarray(rng.standard_normal((1, 2, mc.aux_channels)),
+                         jnp.float32)
+        variables = model.init(jax.random.key(0), x0, c0)
+    variables = jax.device_put(variables, jax.devices()[0])
+    pp = extract_plain_params(variables, mc)
+    upsample = jax.jit(
+        lambda c: model.apply(variables, c, method="upsample_cond"))
+
+    if len(sys.argv) > 2:
+        grid = []
+        for spec in sys.argv[2:]:
+            b, ch, dt = spec.split(",")
+            grid.append((int(b), int(ch), dt))
+    else:
+        grid = [(32, 256, "float32"), (64, 256, "float32"),
+                (64, 128, "float32"), (128, 128, "float32"),
+                (128, 128, "bfloat16"), (64, 512, "float32")]
+
+    print(f"preset={preset} T={t_samples}")
+    for B, chunk, dt in grid:
+        est = vmem_bytes_estimate(mc, B, chunk, dt)
+        if not pallas_supported(mc, B, chunk, dt):
+            print(f"B={B:4d} chunk={chunk:4d} {dt:9s} SKIP vmem={est>>20}MB")
+            continue
+        cond = jnp.asarray(
+            rng.standard_normal((B, n_frames, mc.aux_channels)), jnp.float32)
+        c_up = upsample(cond)
+        np.asarray(c_up[0, :4])
+        gen = lambda: generate_pallas(pp, mc, c_up, jax.random.key(1),
+                                      chunk=chunk, dtype=dt)
+        t0 = time.time()
+        wav = gen()
+        np.asarray(wav[0])
+        compile_s = time.time() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            wav = gen()
+            np.asarray(wav[0])
+            best = min(best, time.time() - t0)
+        rtf = best / (B * t_samples / sr)
+        us = best / t_samples * 1e6
+        print(f"B={B:4d} chunk={chunk:4d} {dt:9s} vmem={est>>20:3d}MB "
+              f"step={us:6.2f}us wall={best:6.3f}s RTF={rtf:.5f} "
+              f"(compile {compile_s:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
