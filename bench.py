@@ -19,12 +19,13 @@ import numpy as np
 
 TARGET_RTF = 0.1
 SECONDS_PER_UTT = 1.0
-# Batched utterances per chip. 96 is the largest batch whose fp32
-# (bit-exact-vs-scan) kernel instance fits v5e VMEM at chunk 64; per-step
-# latency is nearly flat in batch (4.4 us @ B=32 -> 5.0 us @ B=96), so
-# throughput-per-chip rises almost linearly. The bf16 kernel variant
-# reaches B=128 (RTF 0.00095) — reported in BASELINE.md, not here, to keep
-# the headline on the bit-exact path.
+# Batched utterances per chip. 96 is the largest batch the fp32
+# (bit-exact-vs-scan) kernel instance compiles at for chunk 64 (hardware
+# probe, v5e 2026-08; B=112 fails); per-step latency is nearly flat in
+# batch (4.4 us @ B=32 -> 5.0 us @ B=96), so throughput-per-chip rises
+# almost linearly. The bf16 kernel variant reaches B=144 (RTF 0.00090) —
+# reported in BASELINE.md, not here, to keep the headline on the bit-exact
+# path.
 BATCH = 96
 CHUNK = 64
 

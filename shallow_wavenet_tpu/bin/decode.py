@@ -63,9 +63,7 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None):
     import jax
     import jax.numpy as jnp
     from shallow_wavenet_tpu.models.generate import generate_fast
-    from shallow_wavenet_tpu.ops.ar_kernel import (
-        generate_pallas, pallas_supported,
-    )
+    from shallow_wavenet_tpu.ops.ar_kernel import generate_pallas, probe_pallas
 
     cond, n_frames, n_samples = pad_batch_for_decode(utts, cfg.data.hop_length)
     variables = {"params": state.params}
@@ -78,15 +76,28 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None):
                                minval=1e-7, maxval=1.0 - 1e-7)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and pallas_supported(cfg.model, batch=len(utts)):
-        wav = np.asarray(generate_pallas(pp, cfg.model, c_up, noise=noise))
-    elif use_pallas and pallas_supported(cfg.model, batch=len(utts),
-                                         chunk=256, dtype="bfloat16"):
-        # deep models exceed VMEM in fp32; the bf16 kernel is validated
-        # teacher-forced against the fp32 stack (tests/test_pallas_ar.py)
-        wav = np.asarray(generate_pallas(pp, cfg.model, c_up, noise=noise,
-                                         chunk=256, dtype="bfloat16"))
-    else:
+    # tiered backend choice: fp32 kernel (bit-exact vs scan) -> bf16 kernel
+    # (deep models exceed VMEM in fp32; validated teacher-forced against the
+    # fp32 stack, tests/test_pallas_ar.py) -> lax.scan queue path. Each tier
+    # is gated by a probe_pallas try-compile AND a try/except around the
+    # real call: the Mosaic compile frontier depends on batch and total
+    # length in ways the VMEM byte estimate cannot predict (hardware probes,
+    # v5e 2026-08 — see ops/ar_kernel.py).
+    B = len(utts)
+    wav = None
+    if use_pallas:
+        for dt in ("float32", "bfloat16"):
+            if not probe_pallas(cfg.model, batch=B, chunk=64, dtype=dt):
+                continue
+            try:
+                wav = np.asarray(generate_pallas(
+                    pp, cfg.model, c_up, noise=noise, chunk=64, dtype=dt))
+                break
+            except Exception:  # compile limit at this (B, T) — next tier
+                logging.getLogger("decode").warning(
+                    "pallas %s kernel failed to compile at B=%d T=%d; "
+                    "falling back", dt, B, c_up.shape[1])
+    if wav is None:
         wav = np.asarray(generate_fast(pp, cfg.model, c_up, key, noise=noise))
     return [wav[i, : n_samples[i]] for i in range(len(utts))]
 

@@ -87,8 +87,12 @@ def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
     return wb * (w + bufs) + 4 * stream
 
 
-# v5e VMEM is ~16 MB/core; leave headroom for Mosaic's own temporaries
-_VMEM_BUDGET = 14 * 1024 * 1024
+# Hardware-probed ceiling (v5e, 2026-08): the deep-baseline bf16 kernel at
+# batch 16 / chunk 64 (estimate 20.6 MB) compiles, runs, and is row-exact vs
+# smaller batches; estimates >= ~23 MB fail to compile. The nominal "16 MB
+# VMEM/core" figure under-states what Mosaic actually packs for this kernel
+# (weight blocks are pipeline-invariant, so they are not double-buffered).
+_VMEM_BUDGET = 21 * 1024 * 1024
 
 
 def pallas_supported(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
@@ -96,10 +100,75 @@ def pallas_supported(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
     """The kernel covers both heads, kernel_size 2, power-of-two dilations
     (true for 2**i schedules), and models whose weights + ring buffers fit
     the VMEM budget at the ACTUAL generation batch/chunk. Callers must pass
-    the real batch size. The deep baseline fits with dtype='bfloat16'."""
+    the real batch size. The deep baseline fits with dtype='bfloat16'.
+
+    The byte estimate is necessary but not sufficient: Mosaic also hits
+    batch-dependent compile limits the estimate cannot see (on v5e the
+    shallow preset compiles at fp32 B<=96 / bf16 B<=144 but fails above,
+    while the deep preset passes at a *larger* byte estimate). Backends that
+    must not crash on a user-chosen batch should confirm with
+    `probe_pallas`, which try-compiles one chunk and caches the verdict."""
     return (cfg.kernel_size == 2
             and all(d & (d - 1) == 0 for d in cfg.dilations)
             and vmem_bytes_estimate(cfg, batch, chunk, dtype) <= _VMEM_BUDGET)
+
+
+_PROBE_CACHE: dict = {}
+
+
+def probe_pallas(cfg: ModelConfig, batch: int, chunk: int = 64,
+                 dtype: str = "float32") -> bool:
+    """Empirical support check: compile + run the kernel on ONE chunk of
+    zeros at the real (batch, chunk, dtype). Catches the Mosaic compile
+    failures `pallas_supported`'s byte estimate cannot predict. The verdict
+    is cached per (config, batch, chunk, dtype); the probe costs one small
+    compile (~seconds) the first time, nothing after."""
+    key = (cfg, batch, chunk, dtype)
+    hit = _PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if not pallas_supported(cfg, batch, chunk, dtype):
+        _PROBE_CACHE[key] = False
+        return False
+    try:
+        pp = _zero_params(cfg)
+        c = jnp.zeros((batch, chunk, cfg.cond_channels), jnp.float32)
+        noise = jnp.full((batch, chunk), 0.5, jnp.float32)
+        generate_pallas(pp, cfg, c, noise=noise, chunk=chunk,
+                        dtype=dtype).block_until_ready()
+        ok = True
+    except Exception:  # Mosaic/XLA compile errors surface as RuntimeError
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
+def _zero_params(cfg: ModelConfig) -> dict:
+    """Zero-filled plain-param dict with the kernel's expected shapes —
+    enough to compile/execute a probe without touching a real checkpoint."""
+    L = len(cfg.dilations)
+    R, G, S, C = (cfg.residual_channels, cfg.gate_channels,
+                  cfg.skip_channels, cfg.cond_channels)
+    Q = cfg.quantize_channels
+    half = G // 2
+    z = jnp.zeros
+    pp = {
+        "conv_w": z((L, 2, R, G)), "conv_b": z((L, G)),
+        "cond_w": z((L, C, G)),
+        "res_w": z((L, half, R)), "res_b": z((L, R)),
+        "skip_w": z((L, half, S)), "skip_b": z((L, S)),
+        "head1_w": z((S, S)), "head1_b": z((S,)),
+    }
+    if cfg.head == "softmax":
+        pp["input_embed"] = z((Q, R))
+        pp["head2_w"] = z((S, Q))
+        pp["head2_b"] = z((Q,))
+    else:
+        pp["input_w"] = z((1, R))
+        pp["input_b"] = z((R,))
+        pp["head2_w"] = z((S, 2))
+        pp["head2_b"] = z((2,))
+    return pp
 
 
 def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,

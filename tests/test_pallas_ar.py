@@ -124,3 +124,47 @@ def test_deep_config_supported_in_bf16():
     assert not pallas_supported(deep, batch=4)
     assert pallas_supported(deep, batch=4, chunk=256, dtype="bfloat16"), \
         vmem_bytes_estimate(deep, 4, 256, "bfloat16")
+
+
+def test_deep_decode_batch16_supported_in_bf16():
+    """Hardware-probed frontier (v5e, 2026-08): the deep baseline kernel
+    compiles at bf16 batch 16 / chunk 64 (row-exact vs batch 4) — the
+    static gate must admit it so decode can use it."""
+    from shallow_wavenet_tpu.config import get_config
+
+    deep = get_config("deep_baseline").model
+    assert pallas_supported(deep, batch=16, chunk=64, dtype="bfloat16")
+
+
+def test_zero_params_shapes_match_extract():
+    """probe_pallas compiles against _zero_params — its shapes must track
+    extract_plain_params exactly for both heads."""
+    from shallow_wavenet_tpu.models import WaveNet, extract_plain_params
+    from shallow_wavenet_tpu.ops.ar_kernel import _zero_params
+
+    for head in ("laplace", "softmax"):
+        cfg = tiny_cfg(head=head)
+        m = WaveNet(cfg)
+        T = 2 * int(np.prod(cfg.upsample_factors)) - 1
+        x = (jnp.zeros((1, T), jnp.int32) if head == "softmax"
+             else jnp.zeros((1, T)))
+        c = jnp.zeros((1, 2, cfg.aux_channels))
+        v = m.init(jax.random.key(0), x, c)
+        pp = extract_plain_params(v, cfg)
+        zp = _zero_params(cfg)
+        assert set(zp) == set(pp), (set(zp) ^ set(pp), head)
+        for k in pp:
+            assert zp[k].shape == pp[k].shape, (k, zp[k].shape, pp[k].shape)
+
+
+def test_probe_pallas_false_on_cpu_without_raising():
+    """On the CPU test backend the try-compile fails; probe_pallas must
+    swallow it and report False (decode then falls back to lax.scan)."""
+    from shallow_wavenet_tpu.ops.ar_kernel import probe_pallas
+
+    if jax.default_backend() == "tpu":
+        import pytest
+        pytest.skip("probe succeeds on real TPU")
+    assert probe_pallas(tiny_cfg(), batch=2, chunk=64) is False
+    # cached verdict, second call is free
+    assert probe_pallas(tiny_cfg(), batch=2, chunk=64) is False
