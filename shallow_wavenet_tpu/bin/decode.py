@@ -76,27 +76,33 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None):
                                minval=1e-7, maxval=1.0 - 1e-7)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    # tiered backend choice: fp32 kernel (bit-exact vs scan) -> bf16 kernel
-    # (deep models exceed VMEM in fp32; validated teacher-forced against the
-    # fp32 stack, tests/test_pallas_ar.py) -> lax.scan queue path. Each tier
-    # is gated by a probe_pallas try-compile AND a try/except around the
-    # real call: the Mosaic compile frontier depends on batch and total
-    # length in ways the VMEM byte estimate cannot predict (hardware probes,
-    # v5e 2026-08 — see ops/ar_kernel.py).
+    # tiered backend choice: fp32 resident kernel (bit-exact vs scan) ->
+    # fp32 with HBM-streamed large-dilation rings (still bit-exact — pure
+    # data movement; frees ~8x ring VMEM on the deep config) -> bf16
+    # resident -> bf16 streamed (validated teacher-forced against the fp32
+    # stack, tests/test_pallas_ar.py) -> lax.scan queue path. Each tier is
+    # gated by a probe_pallas try-compile AND a try/except around the real
+    # call: the Mosaic compile frontier depends on batch and total length
+    # in ways the VMEM byte estimate cannot predict (hardware probes, v5e
+    # 2026-08 — see ops/ar_kernel.py).
     B = len(utts)
     wav = None
     if use_pallas:
-        for dt in ("float32", "bfloat16"):
-            if not probe_pallas(cfg.model, batch=B, chunk=64, dtype=dt):
+        for dt, strm in (("float32", False), ("float32", True),
+                         ("bfloat16", False), ("bfloat16", True)):
+            if not probe_pallas(cfg.model, batch=B, chunk=64, dtype=dt,
+                                stream=strm):
                 continue
             try:
                 wav = np.asarray(generate_pallas(
-                    pp, cfg.model, c_up, noise=noise, chunk=64, dtype=dt))
+                    pp, cfg.model, c_up, noise=noise, chunk=64, dtype=dt,
+                    stream=strm))
                 break
             except Exception:  # compile limit at this (B, T) — next tier
                 logging.getLogger("decode").warning(
-                    "pallas %s kernel failed to compile at B=%d T=%d; "
-                    "falling back", dt, B, c_up.shape[1])
+                    "pallas %s%s kernel failed to compile at B=%d T=%d; "
+                    "falling back", dt, " streamed" if strm else "", B,
+                    c_up.shape[1])
     if wav is None:
         wav = np.asarray(generate_fast(pp, cfg.model, c_up, key, noise=noise))
     return [wav[i, : n_samples[i]] for i in range(len(utts))]

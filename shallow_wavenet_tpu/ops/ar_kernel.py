@@ -18,6 +18,13 @@ Design (see also models/generate.py — the lax.scan twin of this step):
   overwritten with the layer input at t. Total state = sum of dilations —
   5x smaller than a uniform max-dilation layout, which is what lets the
   deep config fit.
+- `stream=True` moves large-dilation rings (d a >1 multiple of the chunk)
+  to HBM: because d and chunk are powers of two, the slots a chunk touches
+  are one contiguous non-wrapping window of chunk rows, which DMAs into a
+  VMEM window at chunk start (holding the values written d steps earlier)
+  and flushes back at chunk end. Only the window counts against VMEM, so
+  the deep config's ring footprint drops 8x and the batch ceiling rises
+  16 -> 48 (bf16, v5e). Pure data movement — fp32 stays bit-exact.
 - The kernel-2 dilated conv is two (B, R) @ (R, 2*gp) MXU contractions per
   layer with the gate halves padded to 128-lane boundaries (sub-tile lane
   slicing costs ~25% step time); the conditioning contribution of ALL
@@ -67,14 +74,30 @@ def _skip_pad(s: int) -> int:
     return -(-s // 128) * 128
 
 
+def _stream_split(dilations, chunk: int, stream: bool):
+    """(resident_layer_ids, streamed_layer_ids). A layer is streamable when
+    its dilation is a >1 multiple of the chunk: the chunk's ring-buffer rows
+    [t0 % d, t0 % d + chunk) are then contiguous and non-wrapping, so the
+    whole window moves HBM<->VMEM as one sliced DMA per chunk."""
+    if not stream:
+        return tuple(range(len(dilations))), ()
+    res = tuple(l for l, d in enumerate(dilations)
+                if d <= chunk or d % chunk != 0)
+    strm = tuple(l for l in range(len(dilations)) if l not in res)
+    return res, strm
+
+
 def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
-                        dtype: str = "float32") -> int:
+                        dtype: str = "float32", stream: bool = False) -> int:
     """VMEM footprint: resident weights (lane-padded gate width, at the
     kernel weight dtype) + exact-size ring buffers + streamed
-    cond/noise/out blocks (fp32, double-buffered by the pipeline)."""
+    cond/noise/out blocks (fp32, double-buffered by the pipeline).
+    With stream=True, large-dilation ring buffers live in HBM and only a
+    (chunk, B, R) window per streamed layer counts against VMEM."""
     wb = 2 if dtype == "bfloat16" else 4
     L = len(cfg.dilations)
-    sum_d = int(sum(cfg.dilations))
+    res_ids, strm_ids = _stream_split(cfg.dilations, chunk, stream)
+    sum_d = int(sum(cfg.dilations[l] for l in res_ids))
     R, S, C = cfg.residual_channels, cfg.skip_channels, cfg.cond_channels
     gp = _gate_pad(cfg.gate_channels // 2)
     Q = cfg.quantize_channels
@@ -83,8 +106,9 @@ def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
     if cfg.head == "softmax":
         w += Q * R
     bufs = (sum_d + 1) * batch * R   # ring buffers + encoded-feedback carry
-    stream = 2 * chunk * batch * (C + 3)   # cond + noise + teacher + out
-    return wb * (w + bufs) + 4 * stream
+    bufs += len(strm_ids) * chunk * batch * R      # HBM ring windows
+    stream_blk = 2 * chunk * batch * (C + 3)   # cond + noise + teacher + out
+    return wb * (w + bufs) + 4 * stream_blk
 
 
 # Hardware-probed ceiling (v5e, 2026-08): the deep-baseline bf16 kernel at
@@ -96,7 +120,7 @@ _VMEM_BUDGET = 21 * 1024 * 1024
 
 
 def pallas_supported(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
-                     dtype: str = "float32") -> bool:
+                     dtype: str = "float32", stream: bool = False) -> bool:
     """The kernel covers both heads, kernel_size 2, power-of-two dilations
     (true for 2**i schedules), and models whose weights + ring buffers fit
     the VMEM budget at the ACTUAL generation batch/chunk. Callers must pass
@@ -110,24 +134,30 @@ def pallas_supported(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
     `probe_pallas`, which try-compiles one chunk and caches the verdict."""
     return (cfg.kernel_size == 2
             and all(d & (d - 1) == 0 for d in cfg.dilations)
-            and vmem_bytes_estimate(cfg, batch, chunk, dtype) <= _VMEM_BUDGET)
+            and vmem_bytes_estimate(cfg, batch, chunk, dtype,
+                                    stream) <= _VMEM_BUDGET)
 
 
 _PROBE_CACHE: dict = {}
 
 
 def probe_pallas(cfg: ModelConfig, batch: int, chunk: int = 64,
-                 dtype: str = "float32") -> bool:
+                 dtype: str = "float32", stream: bool = False) -> bool:
     """Empirical support check: compile + run the kernel on ONE chunk of
     zeros at the real (batch, chunk, dtype). Catches the Mosaic compile
     failures `pallas_supported`'s byte estimate cannot predict. The verdict
-    is cached per (config, batch, chunk, dtype); the probe costs one small
-    compile (~seconds) the first time, nothing after."""
-    key = (cfg, batch, chunk, dtype)
+    is cached per (config, batch, chunk, dtype, stream); the probe costs one
+    small compile (~seconds) the first time, nothing after."""
+    key = (cfg, batch, chunk, dtype, stream)
     hit = _PROBE_CACHE.get(key)
     if hit is not None:
         return hit
-    if not pallas_supported(cfg, batch, chunk, dtype):
+    if stream and not _stream_split(cfg.dilations, chunk, True)[1]:
+        # no streamable layer: identical to the resident kernel a caller's
+        # tier ladder already tried — don't pay a second probe compile
+        _PROBE_CACHE[key] = False
+        return False
+    if not pallas_supported(cfg, batch, chunk, dtype, stream):
         _PROBE_CACHE[key] = False
         return False
     try:
@@ -135,7 +165,7 @@ def probe_pallas(cfg: ModelConfig, batch: int, chunk: int = 64,
         c = jnp.zeros((batch, chunk, cfg.cond_channels), jnp.float32)
         noise = jnp.full((batch, chunk), 0.5, jnp.float32)
         generate_pallas(pp, cfg, c, noise=noise, chunk=chunk,
-                        dtype=dtype).block_until_ready()
+                        dtype=dtype, stream=stream).block_until_ready()
         ok = True
     except Exception:  # Mosaic/XLA compile errors surface as RuntimeError
         ok = False
@@ -172,10 +202,23 @@ def _zero_params(cfg: ModelConfig) -> dict:
 
 
 def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
-                 use_teacher: bool, wdt):
+                 use_teacher: bool, wdt, strm_ids=()):
     L = len(cfg.dilations)
     dil = cfg.dilations
-    offs = np.concatenate([[0], np.cumsum(dil)]).astype(int)
+    res_ids = tuple(l for l in range(L) if l not in strm_ids)
+    # resident layers: packed flat rings, layer -> offset into (sum_d_res,..)
+    res_off = {}
+    acc = 0
+    for l in res_ids:
+        res_off[l] = acc
+        acc += dil[l]
+    # streamed layers: window index + offset into the HBM ring array
+    win_idx = {l: j for j, l in enumerate(strm_ids)}
+    strm_off = {}
+    acc_s = 0
+    for l in strm_ids:
+        strm_off[l] = acc_s
+        acc_s += dil[l]
     G = cfg.gate_channels
     gp = _gate_pad(G // 2)
     S = cfg.skip_channels
@@ -187,14 +230,49 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
     sp = _skip_pad(S)
 
     def kernel(*refs):
+        n_tail = 3 + (4 if strm_ids else 0)
         if use_teacher:
-            (cond_ref, noise_ref, teacher_ref, *wrefs) = refs[:-3]
+            (cond_ref, noise_ref, teacher_ref, *wrefs) = refs[:-n_tail]
         else:
-            (cond_ref, noise_ref, *wrefs) = refs[:-3]
+            (cond_ref, noise_ref, *wrefs) = refs[:-n_tail]
         (in_w, in_b, conv_w, conv_b, cond_wcat, rs_w, rs_b,
          h1_w, h1_b, h2_w, h2_b) = wrefs
-        out_ref, bufs, fb_ref = refs[-3:]
+        if strm_ids:
+            (out_ref, hbm_ref, bufs, fb_ref, win, lsem, ssem) = refs[-7:]
+        else:
+            out_ref, bufs, fb_ref = refs[-3:]
         i = pl.program_id(0)
+
+        def strm_copies(sems, store=False):
+            """One sliced-DMA descriptor per streamed layer: HBM ring rows
+            [off + t0 % d, +chunk) <-> its (chunk, B, R) VMEM window."""
+            out = []
+            for l in strm_ids:
+                j = win_idx[l]
+                per = dil[l] // chunk            # chunks per ring period
+                p = jax.lax.rem(i, per) * chunk
+                hbm_slc = hbm_ref.at[pl.ds(strm_off[l] + p, chunk)]
+                src, dst = ((win.at[j], hbm_slc) if store
+                            else (hbm_slc, win.at[j]))
+                out.append((l, j, per,
+                            pltpu.make_async_copy(src, dst, sems.at[j])))
+            return out
+
+        if strm_ids:
+            # chunk prologue: windows for rows already written d steps ago
+            # load from HBM (values from t - d); earlier chunks read zeros
+            for l, j, per, cp in strm_copies(lsem):
+                @pl.when(i >= per)
+                def _load(cp=cp):
+                    cp.start()
+
+                @pl.when(i < per)
+                def _zero(j=j):
+                    win[j] = jnp.zeros((chunk, batch, R), wdt)
+            for l, j, per, cp in strm_copies(lsem):
+                @pl.when(i >= per)
+                def _wait(cp=cp):
+                    cp.wait()
 
         def encode(x_prev):
             """Input encode of the feedback sample (class ids as floats for
@@ -237,8 +315,15 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
 
             skip = jnp.zeros((batch, S), jnp.float32)
             for l in range(L):
-                slot = offs[l] + (t & (dil[l] - 1))
-                h_prev = bufs[slot]                      # (B, R) from t-d_l
+                if l in win_idx:
+                    # streamed ring: this chunk's rows are the VMEM window;
+                    # row tt holds the value from t - d_l (loaded/zeroed in
+                    # the prologue) and is overwritten with the t input
+                    j = win_idx[l]
+                    h_prev = win[j, tt]                  # (B, R) from t-d_l
+                else:
+                    slot = res_off[l] + (t & (dil[l] - 1))
+                    h_prev = bufs[slot]                  # (B, R) from t-d_l
                 u = (
                     (jnp.dot(h_prev, conv_w[l, 0],
                              preferred_element_type=jnp.float32)
@@ -248,7 +333,10 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
                 ) + cc[:, l * 2 * gp:(l + 1) * 2 * gp]
                 z = (jnp.tanh(u[:, :gp])
                      * jax.nn.sigmoid(u[:, gp:])).astype(wdt)
-                bufs[slot] = h
+                if l in win_idx:
+                    win[win_idx[l], tt] = h
+                else:
+                    bufs[slot] = h
                 # fused skip|res projection: one (B,gp)@(gp,Sp+R) MXU op per
                 # layer instead of two — each output column is the identical
                 # dot product, so fp32 stays bit-exact. skip occupies lanes
@@ -308,17 +396,29 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
         # bridges chunk boundaries (kept 2-D — see _init comment)
         fb_ref[...] = jax.lax.fori_loop(0, chunk, body, fb_ref[...])
 
+        if strm_ids:
+            # chunk epilogue: flush every window back to its HBM ring rows.
+            # Synchronous (start-all, wait-all) — the rows stored now are
+            # next read d/chunk >= 2 chunks later, but the window buffer
+            # itself is reused by the NEXT chunk's load, so the store must
+            # complete before this grid step ends.
+            stores = strm_copies(ssem, store=True)
+            for _, _, _, cp in stores:
+                cp.start()
+            for _, _, _, cp in stores:
+                cp.wait()
+
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mode", "chunk", "interpret", "dtype"),
+    static_argnames=("cfg", "mode", "chunk", "interpret", "dtype", "stream"),
 )
 def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
                     mode: str = "sample", noise=None, chunk: int = 512,
                     interpret: bool = False, dtype: str = "float32",
-                    teacher=None):
+                    teacher=None, stream: bool = False):
     """Persistent-kernel AR generation; same contract as generate_fast.
 
     c_up (B, T, C) fp32; returns (B, T) fp32. `noise` (B, T) uniforms in
@@ -327,17 +427,24 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     scan path; "bfloat16" halves VMEM — fits the deep config).
     teacher: optional (B, T) forced feedback stream (float samples, or
     class ids as floats for the softmax head) — teacher-forced scoring.
+    stream: keep large-dilation (d > chunk) ring buffers in HBM, DMA-ing a
+    (chunk, B, R) window per layer per chunk — pure data movement, so it
+    preserves the fp32 bit-exactness while freeing most ring VMEM (the
+    deep config's rings shrink 8x), which buys a much larger batch.
     """
     B, T, C = c_up.shape
-    if not pallas_supported(cfg, batch=B, chunk=chunk, dtype=dtype):
+    if not pallas_supported(cfg, batch=B, chunk=chunk, dtype=dtype,
+                            stream=stream):
         raise ValueError(
             f"model config/batch not supported by the Pallas kernel "
             f"(VMEM estimate "
-            f"{vmem_bytes_estimate(cfg, B, chunk, dtype) >> 20} MB "
+            f"{vmem_bytes_estimate(cfg, B, chunk, dtype, stream) >> 20} MB "
             f"> {_VMEM_BUDGET >> 20} MB budget) — use the lax.scan path"
         )
     L = len(cfg.dilations)
-    sum_d = int(sum(cfg.dilations))
+    res_ids, strm_ids = _stream_split(cfg.dilations, chunk, stream)
+    sum_d = int(sum(cfg.dilations[l] for l in res_ids))
+    sum_strm = int(sum(cfg.dilations[l] for l in strm_ids))
     R = cfg.residual_channels
     G = cfg.gate_channels
     wdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
@@ -406,7 +513,8 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     rs_b = jnp.zeros((L, sp + R), pp["skip_b"].dtype)
     rs_b = rs_b.at[:, :S].set(pp["skip_b"]).at[:, sp:].set(pp["res_b"])
 
-    kernel = _make_kernel(cfg, chunk, B, mode, teacher is not None, wdt)
+    kernel = _make_kernel(cfg, chunk, B, mode, teacher is not None, wdt,
+                          strm_ids)
 
     def wspec(shape):
         nd = len(shape)
@@ -433,19 +541,36 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     inputs.extend(weights)
     in_specs.extend(wspec(w.shape) for w in weights)
 
+    out_specs = pl.BlockSpec((chunk, B), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((T_pad, B), jnp.float32)
+    scratch = [
+        pltpu.VMEM((sum_d, B, R), wdt),    # packed dilation ring buffers
+        pltpu.VMEM((B, R), wdt),           # encoded feedback input
+    ]
+    if strm_ids:
+        # second output = the HBM-resident streamed rings (never read by
+        # the caller; every in-kernel load is preceded by a store d/chunk
+        # chunks earlier, so it is safe uninitialized)
+        out_specs = [out_specs, pl.BlockSpec(memory_space=pl.ANY)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((sum_strm, B, R), wdt)]
+        scratch += [
+            pltpu.VMEM((len(strm_ids), chunk, B, R), wdt),  # ring windows
+            pltpu.SemaphoreType.DMA((len(strm_ids),)),      # load sems
+            pltpu.SemaphoreType.DMA((len(strm_ids),)),      # store sems
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((chunk, B), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T_pad, B), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((sum_d, B, R), wdt),    # packed dilation ring buffers
-            pltpu.VMEM((B, R), wdt),           # encoded feedback input
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*inputs)
+    if strm_ids:
+        out = out[0]
     wav = jnp.transpose(out, (1, 0))[:, :T]
     if cfg.head == "softmax":
         # kernel emits class ids; dequantize with the same XLA op as the

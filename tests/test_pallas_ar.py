@@ -168,3 +168,70 @@ def test_probe_pallas_false_on_cpu_without_raising():
     assert probe_pallas(tiny_cfg(), batch=2, chunk=64) is False
     # cached verdict, second call is free
     assert probe_pallas(tiny_cfg(), batch=2, chunk=64) is False
+
+
+def _setup_big_dil(head="laplace", B=2, n_chunks=7, seed=0):
+    """Config whose top dilation (128) exceeds the 64-sample chunk, so the
+    streamed-ring path actually streams (2 layers HBM-resident) and the
+    generation spans several full ring periods (d/chunk = 2)."""
+    from shallow_wavenet_tpu.models import WaveNet, extract_plain_params
+
+    cfg = tiny_cfg(head=head, n_stacks=2, stack_size=8,
+                   upsample_factors=(8, 8))
+    m = WaveNet(cfg)
+    rng = np.random.default_rng(seed)
+    H = int(np.prod(cfg.upsample_factors))
+    F = n_chunks * 64 // H
+    T = F * H - 1
+    if head == "softmax":
+        x = jnp.asarray(rng.integers(0, 256, (B, T)), jnp.int32)
+    else:
+        x = jnp.asarray(rng.uniform(-1, 1, (B, T)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((B, F, cfg.aux_channels)), jnp.float32)
+    v = m.init(jax.random.key(3), x, c)
+    pp = extract_plain_params(v, cfg)
+    c_up = m.apply(v, c, method="upsample_cond")
+    return cfg, pp, c_up
+
+
+@pytest.mark.parametrize("head", ["softmax", "laplace"])
+def test_streamed_rings_bitexact_vs_resident(head):
+    """HBM-streamed large-dilation rings are pure data movement: the fp32
+    streamed kernel must be bit-identical to the resident kernel (and hence
+    to the scan path) across chunk boundaries and full ring periods."""
+    from shallow_wavenet_tpu.ops.ar_kernel import _stream_split
+
+    cfg, pp, c_up = _setup_big_dil(head)
+    res, strm = _stream_split(cfg.dilations, 64, True)
+    assert strm, "config must exercise streaming"
+    assert all(cfg.dilations[l] > 64 for l in strm)
+    B, T, _ = c_up.shape
+    key = jax.random.key(5)
+    noise = jax.random.uniform(key, (B, T), minval=1e-6, maxval=1 - 1e-6)
+    resident = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                          noise=noise, chunk=64,
+                                          interpret=True))
+    streamed = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                          noise=noise, chunk=64,
+                                          interpret=True, stream=True))
+    np.testing.assert_array_equal(resident, streamed)
+
+
+def test_streamed_vmem_gate_and_probe_shortcircuit():
+    """The streamed estimate drops the large-dilation rings from VMEM (deep
+    config: admits bf16 batch 48 where the resident gate tops out at 16);
+    probing stream mode on a config with nothing to stream reports False
+    without compiling (the resident tier already covered it)."""
+    from shallow_wavenet_tpu.config import get_config
+    from shallow_wavenet_tpu.ops.ar_kernel import (
+        probe_pallas, vmem_bytes_estimate,
+    )
+
+    deep = get_config("deep_baseline").model
+    assert (vmem_bytes_estimate(deep, 48, 64, "bfloat16", stream=True)
+            < vmem_bytes_estimate(deep, 48, 64, "bfloat16"))
+    assert pallas_supported(deep, batch=48, chunk=64, dtype="bfloat16",
+                            stream=True)
+    assert not pallas_supported(deep, batch=48, chunk=64, dtype="bfloat16")
+    # all tiny_cfg dilations <= 64: stream tier must short-circuit to False
+    assert probe_pallas(tiny_cfg(), batch=2, chunk=64, stream=True) is False
