@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--stage", type=int, default=0)
     p.add_argument("--stop-stage", type=int, default=6)
     p.add_argument("--steps", type=int, default=None, help="override train steps")
+    p.add_argument("--init-from", default=None,
+                   help="fine-tune: warm-start stage-4 params from another "
+                        "run's model dir (see bin/train.py --init-from)")
     p.add_argument("--n-train", type=int, default=8)
     p.add_argument("--n-eval", type=int, default=2)
     p.add_argument("overrides", nargs="*")
@@ -109,6 +112,8 @@ def main(argv=None):
         extra = ["--steps", str(args.steps)] if args.steps else []
         if cfg.noise_shaping.enabled:
             extra += ["--waveform-dir", str(shaped)]
+        if args.init_from:
+            extra += ["--init-from", args.init_from]
         train_cli.main(
             ["--train-scp", str(train_scp), "--dev-scp", str(eval_scp),
              "--feats-dir", str(feats),

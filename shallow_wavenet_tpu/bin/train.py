@@ -27,6 +27,11 @@ def main(argv=None):
     p.add_argument("--waveform-dir", default=None,
                    help="noise-shaped training waveforms (stage 3 output)")
     p.add_argument("--workdir", required=True)
+    p.add_argument("--init-from", default=None,
+                   help="warm-start params from another run's latest "
+                        "checkpoint (fine-tuning); optimizer, step and LR "
+                        "schedule start fresh. Ignored when --workdir "
+                        "already has a checkpoint to resume from.")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--profile", action="store_true",
                    help="write a jax.profiler trace to <workdir>/profile")
@@ -83,6 +88,10 @@ def main(argv=None):
     state, sampler_state, start = trainer.restore(args.workdir, state)
     if sampler_state is not None:
         sampler.set_state(sampler_state)
+    if start == 0 and args.init_from:
+        # fine-tune: fresh run seeded with pretrained params; own-workdir
+        # resume takes precedence so a preempted fine-tune continues itself
+        state = trainer.warm_start(args.init_from, state)
     from shallow_wavenet_tpu.utils.observability import maybe_profile
 
     with maybe_profile(Path(args.workdir) / "profile" if args.profile

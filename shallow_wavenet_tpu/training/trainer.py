@@ -218,6 +218,29 @@ class Trainer:
         sampler_state = restored.get("sampler") or None
         return restored["state"], sampler_state, latest
 
+    def warm_start(self, init_workdir: str | Path,
+                   state: TrainState) -> TrainState:
+        """Fine-tuning init (SURVEY.md §7 PR6, reference `--resume`-with-
+        new-run convention): copy the PARAMS of another run's latest
+        checkpoint into a fresh TrainState — optimizer state, step counter
+        and LR schedule restart from zero. The source run must have the
+        same model config (shapes are checked by the restore)."""
+        mngr = self._ckpt_manager(init_workdir)
+        latest = mngr.latest_step()
+        if latest is None:
+            raise FileNotFoundError(
+                f"no checkpoint to warm-start from under {init_workdir}")
+        restored = mngr.restore(
+            latest,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(state),
+                sampler=ocp.args.JsonRestore(),
+            ),
+        )
+        log.info("warm start: params from %s step %d (optimizer/step reset)",
+                 init_workdir, latest)
+        return state.replace(params=restored["state"].params)
+
     # ---- the loop --------------------------------------------------------
     def fit(self, state: TrainState, sampler: Iterator[dict],
             workdir: str | Path, steps: int | None = None,

@@ -101,3 +101,33 @@ def test_restore_without_checkpoint_is_noop(tmp_path):
     s = tr.init_state()
     s2, samp, step = tr.restore(tmp_path / "empty", s)
     assert step == 0 and samp is None
+
+
+def test_warm_start_finetune(tmp_path):
+    """Fine-tuning (SURVEY.md §7 PR6): warm_start copies the source run's
+    latest params into a fresh state with optimizer/step reset; training
+    then continues from the pretrained point (first losses well below a
+    cold start's)."""
+    cfg = tiny_train_cfg("laplace")
+    tr = Trainer(cfg)
+    src = tmp_path / "pretrain"
+    ft = tmp_path / "finetune"
+    state = tr.fit(tr.init_state(), make_sampler(cfg), src, steps=60)
+
+    warm = tr.warm_start(src, tr.init_state())
+    assert int(warm.step) == 0
+    jax.tree.map(np.testing.assert_array_equal, warm.params, state.params)
+
+    tr.fit(warm, make_sampler(cfg, seed=7), ft, steps=20)
+    cold = losses_of(src)
+    warm_losses = losses_of(ft)
+    assert warm_losses[0] < cold[0] - 0.5, (warm_losses[0], cold[0])
+
+
+def test_warm_start_missing_checkpoint_raises(tmp_path):
+    import pytest
+
+    cfg = tiny_train_cfg("laplace")
+    tr = Trainer(cfg)
+    with pytest.raises(FileNotFoundError):
+        tr.warm_start(tmp_path / "nowhere", tr.init_state())
