@@ -58,11 +58,16 @@ def _prep_fn(model):
     return jax.jit(prep)
 
 
-def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None):
-    """Generate one padded batch; returns list of trimmed waveforms."""
+def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
+                 segment_samples: int = 0):
+    """Generate one padded batch; returns list of trimmed waveforms.
+    segment_samples > 0 decodes in bounded segments with teacher-forced
+    warm-starts (bit-exact; SURVEY.md §5.7 long-utterance mechanism)."""
     import jax
     import jax.numpy as jnp
-    from shallow_wavenet_tpu.models.generate import generate_fast
+    from shallow_wavenet_tpu.models.generate import (
+        generate_fast, generate_segmented,
+    )
     from shallow_wavenet_tpu.ops.ar_kernel import generate_pallas, probe_pallas
 
     cond, n_frames, n_samples = pad_batch_for_decode(utts, cfg.data.hop_length)
@@ -94,9 +99,16 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None):
                                 stream=strm):
                 continue
             try:
-                wav = np.asarray(generate_pallas(
-                    pp, cfg.model, c_up, noise=noise, chunk=64, dtype=dt,
-                    stream=strm))
+                if segment_samples > 0:
+                    # host-resident cond/noise: device HBM holds only one
+                    # segment of conditioning at a time
+                    wav = np.asarray(generate_segmented(
+                        pp, cfg.model, np.asarray(c_up), np.asarray(noise),
+                        segment_samples, chunk=64, dtype=dt, stream=strm))
+                else:
+                    wav = np.asarray(generate_pallas(
+                        pp, cfg.model, c_up, noise=noise, chunk=64, dtype=dt,
+                        stream=strm))
                 break
             except Exception:  # compile limit at this (B, T) — next tier
                 logging.getLogger("decode").warning(
@@ -116,6 +128,10 @@ def main(argv=None):
     p.add_argument("--workdir", required=True)
     p.add_argument("--outdir", required=True)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--segment-samples", type=int, default=0,
+                   help="decode in bounded segments of this many samples "
+                        "(multiple of 64, > sum of dilations) — bit-exact, "
+                        "keeps HBM use flat for very long utterances")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", action="store_true",
                    help="write a jax.profiler trace to <outdir>/profile")
@@ -144,7 +160,8 @@ def main(argv=None):
             chunk = utts[i : i + args.batch_size]
             t0 = time.time()
             wavs = decode_batch(trainer, state, cfg, chunk,
-                                jax.random.fold_in(key, i))
+                                jax.random.fold_in(key, i),
+                                segment_samples=args.segment_samples)
             wall = time.time() - t0
             audio_s = sum(len(w) for w in wavs) / cfg.data.sample_rate
             total_audio_s += audio_s

@@ -173,6 +173,69 @@ def generate_dp(pp: dict, cfg: ModelConfig, c_up, noise, mesh,
     return f(pp, c_up, noise)
 
 
+def generate_segmented(pp: dict, cfg: ModelConfig, c_up, noise,
+                       seg_len: int, chunk: int = 64,
+                       dtype: str = "float32", stream: bool = False,
+                       interpret: bool = False):
+    """Chunked-conditioning-stream generation (SURVEY.md §5.7): synthesize
+    an arbitrarily long utterance batch in fixed-size segments so the
+    Pallas kernel's streamed inputs (upsampled conditioning, noise) never
+    exceed a bounded footprint — the TPU-native answer to utterances
+    longer than a chip's budget (no cross-sample reduction exists to
+    shard, so segmentation, not sequence parallelism, is the mechanism).
+
+    Ring state is NOT carried between kernel calls: each segment re-derives
+    it with a teacher-forced warm-start of W = sum(dilations) + 1 steps fed
+    the previous segment's true samples, which reconstructs every ring
+    buffer exactly (each layer's horizon is the prefix-sum of dilations).
+    fp32 output is therefore bit-identical to a single unsegmented call —
+    locked by tests/test_pallas_ar.py. Overhead: W extra steps per segment
+    (<2% for 10 s segments at 24 kHz).
+
+    noise: (B, T) uniforms — required, so segmentation cannot change the
+    samples. seg_len: output samples per segment (multiple of chunk).
+
+    c_up and noise may be HOST (numpy) arrays: only the current segment is
+    transferred to the device, so device HBM stays flat in utterance
+    length (the generated waveform, 4 bytes/sample, is the only
+    full-length device array).
+    """
+    from shallow_wavenet_tpu.ops.ar_kernel import generate_pallas
+
+    B, T, _ = c_up.shape
+    if seg_len % chunk != 0:
+        raise ValueError("seg_len must be a multiple of chunk")
+    W = int(sum(cfg.dilations)) + 1
+    if seg_len <= W:
+        raise ValueError(f"seg_len must exceed the warm-start length {W}")
+    segs = []
+    for s in range(0, T, seg_len):
+        e = min(s + seg_len, T)
+        if s == 0:
+            wav = generate_pallas(pp, cfg, c_up[:, :e], noise=noise[:, :e],
+                                  chunk=chunk, dtype=dtype, stream=stream,
+                                  interpret=interpret)
+            segs.append(wav)
+            continue
+        # the call spans global samples [s - W, e): local step t emits
+        # global sample g = s - W + t. Steps t <= W are forced with
+        # teacher[t] = x(g - 1) = x(s - W - 1 + t) — the previous W + 1
+        # true samples — which makes every ring correct by t = W (layer
+        # l's horizon is the prefix-sum of dilations <= W); outputs are
+        # kept from t = W (global s). Zeros beyond (AR region).
+        prev = jnp.concatenate(segs, axis=1)[:, s - W - 1: s]   # (B, W+1)
+        if cfg.head == "softmax":
+            prev = mulaw_quantize(prev, cfg.quantize_channels).astype(
+                jnp.float32)
+        teacher = jnp.pad(prev, ((0, 0), (0, e - s - 1)))
+        wav = generate_pallas(pp, cfg, c_up[:, s - W: e],
+                              noise=noise[:, s - W: e], chunk=chunk,
+                              dtype=dtype, stream=stream, warmup=W + 1,
+                              teacher=teacher, interpret=interpret)
+        segs.append(wav[:, W:])
+    return jnp.concatenate(segs, axis=1)
+
+
 def generate_naive(model, variables, cfg: ModelConfig, c_up, key,
                    mode: str = "sample", noise=None):
     """Equivalence oracle: per sample, recompute the teacher-forced stack on

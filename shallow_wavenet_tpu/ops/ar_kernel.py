@@ -202,7 +202,7 @@ def _zero_params(cfg: ModelConfig) -> dict:
 
 
 def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
-                 use_teacher: bool, wdt, strm_ids=()):
+                 use_teacher: bool, wdt, strm_ids=(), warmup: int = 0):
     L = len(cfg.dilations)
     dil = cfg.dilations
     res_ids = tuple(l for l in range(L) if l not in strm_ids)
@@ -305,7 +305,15 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
 
         def body(tt, h_carry):
             t = i * chunk + tt
-            if use_teacher:
+            if use_teacher and warmup > 0:
+                # segmented-generation warm-start: inputs forced from the
+                # previous segment's true samples for t < warmup (>= sum of
+                # dilations + 1), which exactly rebuilds every ring's state;
+                # AR feedback takes over after. Warmup-region outputs are
+                # re-generations of the previous segment — callers trim them.
+                h = jnp.where(t < warmup, encode(teacher_ref[tt, :]),
+                              h_carry)
+            elif use_teacher:
                 h = encode(teacher_ref[tt, :])           # (B, R) forced
             else:
                 h = h_carry                              # (B, R) AR feedback
@@ -413,12 +421,13 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mode", "chunk", "interpret", "dtype", "stream"),
+    static_argnames=("cfg", "mode", "chunk", "interpret", "dtype", "stream",
+                     "warmup"),
 )
 def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
                     mode: str = "sample", noise=None, chunk: int = 512,
                     interpret: bool = False, dtype: str = "float32",
-                    teacher=None, stream: bool = False):
+                    teacher=None, stream: bool = False, warmup: int = 0):
     """Persistent-kernel AR generation; same contract as generate_fast.
 
     c_up (B, T, C) fp32; returns (B, T) fp32. `noise` (B, T) uniforms in
@@ -427,6 +436,11 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     scan path; "bfloat16" halves VMEM — fits the deep config).
     teacher: optional (B, T) forced feedback stream (float samples, or
     class ids as floats for the softmax head) — teacher-forced scoring.
+    warmup: with teacher, force only steps t < warmup and generate AR
+    after — the warm-start for segmented generation (see
+    models/generate.py generate_segmented). warmup >= sum(dilations) + 1
+    rebuilds the ring state exactly; warmup-region outputs are discarded
+    by the caller.
     stream: keep large-dilation (d > chunk) ring buffers in HBM, DMA-ing a
     (chunk, B, R) window per layer per chunk — pure data movement, so it
     preserves the fp32 bit-exactness while freeing most ring VMEM (the
@@ -513,8 +527,10 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     rs_b = jnp.zeros((L, sp + R), pp["skip_b"].dtype)
     rs_b = rs_b.at[:, :S].set(pp["skip_b"]).at[:, sp:].set(pp["res_b"])
 
+    if warmup > 0 and teacher is None:
+        raise ValueError("warmup requires a teacher prefix stream")
     kernel = _make_kernel(cfg, chunk, B, mode, teacher is not None, wdt,
-                          strm_ids)
+                          strm_ids, warmup)
 
     def wspec(shape):
         nd = len(shape)

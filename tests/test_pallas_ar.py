@@ -235,3 +235,39 @@ def test_streamed_vmem_gate_and_probe_shortcircuit():
     assert not pallas_supported(deep, batch=48, chunk=64, dtype="bfloat16")
     # all tiny_cfg dilations <= 64: stream tier must short-circuit to False
     assert probe_pallas(tiny_cfg(), batch=2, chunk=64, stream=True) is False
+
+
+@pytest.mark.parametrize("head", ["softmax", "laplace"])
+def test_segmented_equals_full(head):
+    """Segmented generation (teacher-forced warm-start per segment) must be
+    bit-identical to one unsegmented call — SURVEY.md §5.7's long-utterance
+    mechanism cannot change the samples."""
+    from shallow_wavenet_tpu.models.generate import generate_segmented
+
+    cfg, m, v, pp, c_up = setup_gen(head, F=30)   # T=299, W=sum_d+1=15
+    B, T, _ = c_up.shape
+    key = jax.random.key(21)
+    noise = jax.random.uniform(key, (B, T), minval=1e-6, maxval=1 - 1e-6)
+    full = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                      noise=noise, chunk=64, interpret=True))
+    seg = np.asarray(generate_segmented(pp, cfg, c_up, noise, seg_len=128,
+                                        chunk=64, interpret=True))
+    assert seg.shape == full.shape
+    np.testing.assert_array_equal(full, seg)
+
+
+def test_segmented_streamed_rings():
+    """Segmentation composes with HBM-streamed rings (both are bit-exact
+    transformations) on a config whose dilations exceed the chunk."""
+    from shallow_wavenet_tpu.models.generate import generate_segmented
+
+    cfg, pp, c_up = _setup_big_dil("laplace", n_chunks=12)  # W=511, T=767
+    B, T, _ = c_up.shape
+    key = jax.random.key(23)
+    noise = jax.random.uniform(key, (B, T), minval=1e-6, maxval=1 - 1e-6)
+    full = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                      noise=noise, chunk=64, interpret=True))
+    seg = np.asarray(generate_segmented(pp, cfg, c_up, noise, seg_len=576,
+                                        chunk=64, stream=True,
+                                        interpret=True))
+    np.testing.assert_array_equal(full, seg)
