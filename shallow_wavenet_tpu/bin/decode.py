@@ -74,11 +74,37 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
     variables = {"params": state.params}
     spk = (jnp.asarray([u.speaker for u in utts], jnp.int32)
            if cfg.model.n_speakers > 0 else None)
-    c_up, pp = _prep_fn(trainer.model)(variables, jnp.asarray(cond), spk)
-    # both backends consume the same uniform stream -> identical samples;
-    # the Pallas persistent kernel is the TPU fast path (SURVEY.md §7 PR5)
-    noise = jax.random.uniform(key, (c_up.shape[0], c_up.shape[1]),
-                               minval=1e-7, maxval=1.0 - 1e-7)
+    if segment_samples > 0:
+        # validate up front: inside the tier loop a ValueError would be
+        # mistaken for a compile failure and silently drop to the slow path
+        from shallow_wavenet_tpu.ops.ar_kernel import warmup_length
+
+        m = warmup_length(cfg.model, 64)
+        if segment_samples % 64 != 0 or segment_samples <= m:
+            raise ValueError(
+                f"--segment-samples must be a multiple of 64 and exceed the "
+                f"warm-start length {m} for this model")
+        # prep on host CPU: the full-length upsampled conditioning must
+        # never be materialized on the accelerator — that allocation is
+        # exactly what segmentation exists to avoid
+        from shallow_wavenet_tpu.models import extract_plain_params
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            c_up, _ = _prep_fn(trainer.model)(
+                jax.device_put(variables, cpu), jnp.asarray(cond), spk)
+            noise = np.asarray(jax.random.uniform(
+                key, (c_up.shape[0], c_up.shape[1]),
+                minval=1e-7, maxval=1.0 - 1e-7))
+        c_up = np.asarray(c_up)
+        pp = extract_plain_params(variables, cfg.model)
+    else:
+        c_up, pp = _prep_fn(trainer.model)(variables, jnp.asarray(cond), spk)
+        # both backends consume the same uniform stream -> identical
+        # samples; the Pallas persistent kernel is the TPU fast path
+        # (SURVEY.md §7 PR5)
+        noise = jax.random.uniform(key, (c_up.shape[0], c_up.shape[1]),
+                                   minval=1e-7, maxval=1.0 - 1e-7)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     # tiered backend choice: fp32 resident kernel (bit-exact vs scan) ->
@@ -100,10 +126,10 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
                 continue
             try:
                 if segment_samples > 0:
-                    # host-resident cond/noise: device HBM holds only one
-                    # segment of conditioning at a time
+                    # c_up/noise are host arrays here: device HBM holds
+                    # only one segment of conditioning at a time
                     wav = np.asarray(generate_segmented(
-                        pp, cfg.model, np.asarray(c_up), np.asarray(noise),
+                        pp, cfg.model, c_up, noise,
                         segment_samples, chunk=64, dtype=dt, stream=strm))
                 else:
                     wav = np.asarray(generate_pallas(
@@ -130,8 +156,10 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--segment-samples", type=int, default=0,
                    help="decode in bounded segments of this many samples "
-                        "(multiple of 64, > sum of dilations) — bit-exact, "
-                        "keeps HBM use flat for very long utterances")
+                        "(multiple of 64, greater than the model's "
+                        "warm-start length: sum(dilations)+1 rounded up to "
+                        "64) — bit-exact on the Pallas backend, keeps "
+                        "device HBM flat for very long utterances")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", action="store_true",
                    help="write a jax.profiler trace to <outdir>/profile")

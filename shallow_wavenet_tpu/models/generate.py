@@ -185,12 +185,14 @@ def generate_segmented(pp: dict, cfg: ModelConfig, c_up, noise,
     shard, so segmentation, not sequence parallelism, is the mechanism).
 
     Ring state is NOT carried between kernel calls: each segment re-derives
-    it with a teacher-forced warm-start of W = sum(dilations) + 1 steps fed
-    the previous segment's true samples, which reconstructs every ring
-    buffer exactly (each layer's horizon is the prefix-sum of dilations).
-    fp32 output is therefore bit-identical to a single unsegmented call —
-    locked by tests/test_pallas_ar.py. Overhead: W extra steps per segment
-    (<2% for 10 s segments at 24 kHz).
+    it with a teacher-forced warm-start of M steps (sum(dilations) + 1
+    rounded up to a whole chunk — forced/AR switches at a chunk boundary so
+    AR chunks pay zero teacher overhead) fed the previous segment's true
+    samples, which reconstructs every ring buffer exactly (each layer's
+    horizon is the prefix-sum of dilations). fp32 output is therefore
+    bit-identical to a single unsegmented call — locked by
+    tests/test_pallas_ar.py. Overhead: M extra steps per segment (<2% for
+    10 s segments at 24 kHz).
 
     noise: (B, T) uniforms — required, so segmentation cannot change the
     samples. seg_len: output samples per segment (multiple of chunk).
@@ -200,39 +202,44 @@ def generate_segmented(pp: dict, cfg: ModelConfig, c_up, noise,
     length (the generated waveform, 4 bytes/sample, is the only
     full-length device array).
     """
-    from shallow_wavenet_tpu.ops.ar_kernel import generate_pallas
+    from shallow_wavenet_tpu.ops.ar_kernel import (
+        generate_pallas, warmup_length,
+    )
 
     B, T, _ = c_up.shape
     if seg_len % chunk != 0:
         raise ValueError("seg_len must be a multiple of chunk")
-    W = int(sum(cfg.dilations)) + 1
-    if seg_len <= W:
-        raise ValueError(f"seg_len must exceed the warm-start length {W}")
+    M = warmup_length(cfg, chunk)
+    if seg_len <= M:
+        raise ValueError(f"seg_len must exceed the warm-start length {M}")
     segs = []
     for s in range(0, T, seg_len):
         e = min(s + seg_len, T)
         if s == 0:
-            wav = generate_pallas(pp, cfg, c_up[:, :e], noise=noise[:, :e],
+            wav = generate_pallas(pp, cfg, jnp.asarray(c_up[:, :e]),
+                                  noise=jnp.asarray(noise[:, :e]),
                                   chunk=chunk, dtype=dtype, stream=stream,
                                   interpret=interpret)
             segs.append(wav)
             continue
-        # the call spans global samples [s - W, e): local step t emits
-        # global sample g = s - W + t. Steps t <= W are forced with
-        # teacher[t] = x(g - 1) = x(s - W - 1 + t) — the previous W + 1
-        # true samples — which makes every ring correct by t = W (layer
-        # l's horizon is the prefix-sum of dilations <= W); outputs are
-        # kept from t = W (global s). Zeros beyond (AR region).
-        prev = jnp.concatenate(segs, axis=1)[:, s - W - 1: s]   # (B, W+1)
+        # the call spans global samples [s - M, e): local step t emits
+        # global sample g = s - M + t. Steps t < M are forced with
+        # teacher[t] = x(g - 1) = x(s - M - 1 + t) — the previous M true
+        # samples — which makes every ring correct by t = M (layer l's
+        # horizon is the prefix-sum of dilations < M); outputs are kept
+        # from t = M (global s). Zeros beyond (AR region). seg_len > M
+        # guarantees the teacher window lies inside the last segment.
+        prev = segs[-1][:, -(M + 1):-1]                         # (B, M)
         if cfg.head == "softmax":
             prev = mulaw_quantize(prev, cfg.quantize_channels).astype(
                 jnp.float32)
-        teacher = jnp.pad(prev, ((0, 0), (0, e - s - 1)))
-        wav = generate_pallas(pp, cfg, c_up[:, s - W: e],
-                              noise=noise[:, s - W: e], chunk=chunk,
-                              dtype=dtype, stream=stream, warmup=W + 1,
-                              teacher=teacher, interpret=interpret)
-        segs.append(wav[:, W:])
+        teacher = jnp.pad(prev, ((0, 0), (0, e - s)))
+        wav = generate_pallas(pp, cfg, jnp.asarray(c_up[:, s - M: e]),
+                              noise=jnp.asarray(noise[:, s - M: e]),
+                              chunk=chunk, dtype=dtype, stream=stream,
+                              warmup=M, teacher=teacher,
+                              interpret=interpret)
+        segs.append(wav[:, M:])
     return jnp.concatenate(segs, axis=1)
 
 

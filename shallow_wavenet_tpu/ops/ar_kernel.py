@@ -74,6 +74,14 @@ def _skip_pad(s: int) -> int:
     return -(-s // 128) * 128
 
 
+def warmup_length(cfg: ModelConfig, chunk: int = 64) -> int:
+    """Teacher-forced warm-start length for segmented generation:
+    sum(dilations) + 1 (every layer's correctness horizon) rounded up to a
+    whole chunk (the kernel switches forced -> AR at a chunk boundary)."""
+    need = int(sum(cfg.dilations)) + 1
+    return -(-need // chunk) * chunk
+
+
 def _stream_split(dilations, chunk: int, stream: bool):
     """(resident_layer_ids, streamed_layer_ids). A layer is streamable when
     its dilation is a >1 multiple of the chunk: the chunk's ring-buffer rows
@@ -303,17 +311,9 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
                 # encode(0) == 0 * in_w + in_b
                 fb_ref[...] = jnp.zeros((batch, R), wdt) + in_b[:][None, :]
 
-        def body(tt, h_carry):
+        def body(tt, h_carry, forced=use_teacher and warmup == 0):
             t = i * chunk + tt
-            if use_teacher and warmup > 0:
-                # segmented-generation warm-start: inputs forced from the
-                # previous segment's true samples for t < warmup (>= sum of
-                # dilations + 1), which exactly rebuilds every ring's state;
-                # AR feedback takes over after. Warmup-region outputs are
-                # re-generations of the previous segment — callers trim them.
-                h = jnp.where(t < warmup, encode(teacher_ref[tt, :]),
-                              h_carry)
-            elif use_teacher:
+            if forced:
                 h = encode(teacher_ref[tt, :])           # (B, R) forced
             else:
                 h = h_carry                              # (B, R) AR feedback
@@ -402,7 +402,28 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
 
         # the encoded feedback rides the loop carry; the VMEM scratch only
         # bridges chunk boundaries (kept 2-D — see _init comment)
-        fb_ref[...] = jax.lax.fori_loop(0, chunk, body, fb_ref[...])
+        if use_teacher and warmup > 0:
+            # segmented-generation warm-start: whole chunks before the
+            # (chunk-aligned) warmup boundary force their inputs from the
+            # previous segment's true samples — rebuilding every ring's
+            # state exactly — and chunks after run pure AR with zero
+            # teacher overhead. Warmup-region outputs are re-generations
+            # of the previous segment; callers trim them.
+            wb = warmup // chunk
+
+            @pl.when(i < wb)
+            def _forced():
+                fb_ref[...] = jax.lax.fori_loop(
+                    0, chunk, functools.partial(body, forced=True),
+                    fb_ref[...])
+
+            @pl.when(i >= wb)
+            def _ar():
+                fb_ref[...] = jax.lax.fori_loop(
+                    0, chunk, functools.partial(body, forced=False),
+                    fb_ref[...])
+        else:
+            fb_ref[...] = jax.lax.fori_loop(0, chunk, body, fb_ref[...])
 
         if strm_ids:
             # chunk epilogue: flush every window back to its HBM ring rows.
@@ -438,9 +459,10 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     class ids as floats for the softmax head) — teacher-forced scoring.
     warmup: with teacher, force only steps t < warmup and generate AR
     after — the warm-start for segmented generation (see
-    models/generate.py generate_segmented). warmup >= sum(dilations) + 1
-    rebuilds the ring state exactly; warmup-region outputs are discarded
-    by the caller.
+    models/generate.py generate_segmented). Must be a multiple of chunk
+    (forced/AR is decided per chunk, so AR chunks pay zero teacher
+    overhead); warmup >= sum(dilations) + 1 rebuilds the ring state
+    exactly; warmup-region outputs are discarded by the caller.
     stream: keep large-dilation (d > chunk) ring buffers in HBM, DMA-ing a
     (chunk, B, R) window per layer per chunk — pure data movement, so it
     preserves the fp32 bit-exactness while freeing most ring VMEM (the
@@ -529,6 +551,8 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
 
     if warmup > 0 and teacher is None:
         raise ValueError("warmup requires a teacher prefix stream")
+    if warmup % chunk != 0:
+        raise ValueError("warmup must be a multiple of chunk")
     kernel = _make_kernel(cfg, chunk, B, mode, teacher is not None, wdt,
                           strm_ids, warmup)
 

@@ -225,21 +225,13 @@ class Trainer:
         checkpoint into a fresh TrainState — optimizer state, step counter
         and LR schedule restart from zero. The source run must have the
         same model config (shapes are checked by the restore)."""
-        mngr = self._ckpt_manager(init_workdir)
-        latest = mngr.latest_step()
-        if latest is None:
+        restored, _, latest = self.restore(init_workdir, state)
+        if latest == 0:
             raise FileNotFoundError(
                 f"no checkpoint to warm-start from under {init_workdir}")
-        restored = mngr.restore(
-            latest,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(state),
-                sampler=ocp.args.JsonRestore(),
-            ),
-        )
         log.info("warm start: params from %s step %d (optimizer/step reset)",
                  init_workdir, latest)
-        return state.replace(params=restored["state"].params)
+        return state.replace(params=restored.params)
 
     # ---- the loop --------------------------------------------------------
     def fit(self, state: TrainState, sampler: Iterator[dict],

@@ -21,11 +21,22 @@ enable_compilation_cache()
 from shallow_wavenet_tpu.config import get_config  # noqa: E402
 from shallow_wavenet_tpu.ops import ar_kernel  # noqa: E402
 
-DT = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
-STREAM = "stream" in sys.argv
-PRESET = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("preset=")),
-              "deep_baseline")
-BATCHES = [int(b) for b in sys.argv[2:] if b.isdigit()] or [16, 18, 20, 24, 32]
+DT = "bfloat16"
+STREAM = False
+PRESET = "deep_baseline"
+BATCHES = []
+for a in sys.argv[1:]:
+    if a in ("float32", "bfloat16"):
+        DT = a
+    elif a == "stream":
+        STREAM = True
+    elif a.startswith("preset="):
+        PRESET = a.split("=", 1)[1]
+    elif a.isdigit():
+        BATCHES.append(int(a))
+    else:
+        raise SystemExit(f"unrecognized arg {a!r}")
+BATCHES = BATCHES or [16, 18, 20, 24, 32]
 T = 24000
 CHUNK = 64
 
