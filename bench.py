@@ -19,14 +19,14 @@ import numpy as np
 
 TARGET_RTF = 0.1
 SECONDS_PER_UTT = 1.0
-# Batched utterances per chip. 96 is the largest batch the fp32
-# (bit-exact-vs-scan) kernel instance compiles at for chunk 64 (hardware
-# probe, v5e 2026-08; B=112 fails); per-step latency is nearly flat in
-# batch (4.4 us @ B=32 -> 5.0 us @ B=96), so throughput-per-chip rises
-# almost linearly. The bf16 kernel variant reaches B=144 (RTF 0.00090) —
-# reported in BASELINE.md, not here, to keep the headline on the bit-exact
-# path.
-BATCH = 96
+# Batched utterances per chip. The old B=96 frontier was Mosaic's DEFAULT
+# 16 MB scoped-VMEM gate, not hardware: the kernel now requests the
+# physical 128 MB per-core VMEM via CompilerParams(vmem_limit_bytes), and
+# the fp32 (bit-exact-vs-scan) instance compiles and runs up to B=768 at
+# chunk 64 (hardware probe, v5e 2026-08; B=1024 exceeds the real 128 MB).
+# Per-step latency rises slowly with batch (5.7 us @ B=96 -> 17.3 us @
+# B=768) so per-chip throughput keeps climbing: 1847 audio-s/s at B=768.
+BATCH = 768
 CHUNK = 64
 
 

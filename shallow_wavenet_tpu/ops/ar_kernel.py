@@ -124,7 +124,13 @@ def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
 # smaller batches; estimates >= ~23 MB fail to compile. The nominal "16 MB
 # VMEM/core" figure under-states what Mosaic actually packs for this kernel
 # (weight blocks are pipeline-invariant, so they are not double-buffered).
-_VMEM_BUDGET = 21 * 1024 * 1024
+_VMEM_BUDGET = 120 * 1024 * 1024
+
+# Per-kernel scoped-VMEM ceiling passed to Mosaic (vmem_limit_bytes). The
+# compiler's default gate is 16 MB; v5e physically has 128 MB of VMEM per
+# core. Requesting the physical size lets the real allocator (not the
+# conservative default gate) decide the frontier.
+_VMEM_HW_BYTES = 128 * 1024 * 1024
 
 
 def pallas_supported(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
@@ -210,7 +216,8 @@ def _zero_params(cfg: ModelConfig) -> dict:
 
 
 def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
-                 use_teacher: bool, wdt, strm_ids=(), warmup: int = 0):
+                 use_teacher: bool, wdt, strm_ids=(), warmup: int = 0,
+                 unroll: int = 1):
     L = len(cfg.dilations)
     dil = cfg.dilations
     res_ids = tuple(l for l in range(L) if l not in strm_ids)
@@ -400,6 +407,21 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
             out_ref[tt, :] = x_t
             return encode(fb)
 
+        def chunk_loop(step_body, fb0):
+            """fori_loop over the chunk with `unroll` samples per trip —
+            identical ops in identical order (pure loop restructuring, so
+            fp32 stays bit-exact); fewer loop-carry round-trips per chunk
+            shaves per-sample overhead (hardware-probed ~5% at unroll 4)."""
+            if unroll <= 1:
+                return jax.lax.fori_loop(0, chunk, step_body, fb0)
+
+            def trip(j, h):
+                for q in range(unroll):
+                    h = step_body(j * unroll + q, h)
+                return h
+
+            return jax.lax.fori_loop(0, chunk // unroll, trip, fb0)
+
         # the encoded feedback rides the loop carry; the VMEM scratch only
         # bridges chunk boundaries (kept 2-D — see _init comment)
         if use_teacher and warmup > 0:
@@ -413,17 +435,15 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
 
             @pl.when(i < wb)
             def _forced():
-                fb_ref[...] = jax.lax.fori_loop(
-                    0, chunk, functools.partial(body, forced=True),
-                    fb_ref[...])
+                fb_ref[...] = chunk_loop(
+                    functools.partial(body, forced=True), fb_ref[...])
 
             @pl.when(i >= wb)
             def _ar():
-                fb_ref[...] = jax.lax.fori_loop(
-                    0, chunk, functools.partial(body, forced=False),
-                    fb_ref[...])
+                fb_ref[...] = chunk_loop(
+                    functools.partial(body, forced=False), fb_ref[...])
         else:
-            fb_ref[...] = jax.lax.fori_loop(0, chunk, body, fb_ref[...])
+            fb_ref[...] = chunk_loop(body, fb_ref[...])
 
         if strm_ids:
             # chunk epilogue: flush every window back to its HBM ring rows.
@@ -443,12 +463,13 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "mode", "chunk", "interpret", "dtype", "stream",
-                     "warmup"),
+                     "warmup", "unroll"),
 )
 def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
                     mode: str = "sample", noise=None, chunk: int = 512,
                     interpret: bool = False, dtype: str = "float32",
-                    teacher=None, stream: bool = False, warmup: int = 0):
+                    teacher=None, stream: bool = False, warmup: int = 0,
+                    unroll: int = 4):
     """Persistent-kernel AR generation; same contract as generate_fast.
 
     c_up (B, T, C) fp32; returns (B, T) fp32. `noise` (B, T) uniforms in
@@ -467,6 +488,9 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     (chunk, B, R) window per layer per chunk — pure data movement, so it
     preserves the fp32 bit-exactness while freeing most ring VMEM (the
     deep config's rings shrink 8x), which buys a much larger batch.
+    unroll: samples per inner-loop trip (must divide chunk). Pure loop
+    restructuring — identical ops in identical order, so fp32 stays
+    bit-exact at every setting; 4 is ~5% faster than 1 on v5e.
     """
     B, T, C = c_up.shape
     if not pallas_supported(cfg, batch=B, chunk=chunk, dtype=dtype,
@@ -553,8 +577,10 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
         raise ValueError("warmup requires a teacher prefix stream")
     if warmup % chunk != 0:
         raise ValueError("warmup must be a multiple of chunk")
+    if unroll < 1 or chunk % unroll != 0:
+        raise ValueError("unroll must divide chunk")
     kernel = _make_kernel(cfg, chunk, B, mode, teacher is not None, wdt,
-                          strm_ids, warmup)
+                          strm_ids, warmup, unroll)
 
     def wspec(shape):
         nd = len(shape)
@@ -608,6 +634,13 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        # lift Mosaic's default 16 MB scoped-VMEM gate to the physical
+        # capacity: the persistent kernel's whole point is to pack weights +
+        # rings + stream blocks into VMEM, and the default gate (not the
+        # hardware) is what capped the batch frontier (v5e probe 2026-08:
+        # fp32 B=112 failed at "16.83M > 16.00M limit" under the default)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_HW_BYTES),
     )(*inputs)
     if strm_ids:
         out = out[0]

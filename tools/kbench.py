@@ -1,6 +1,7 @@
 """Microbenchmark for the Pallas AR kernel: per-step latency by variant.
 
-Usage: python tools/kbench.py [batch ...]
+Usage: python tools/kbench.py [batch ...] [preset=X] [dtype=X] [chunk=N]
+                              [unroll=N] [stream=0|1]
 Prints per-step microseconds and implied RTF@24k for each (config, dtype,
 batch) combination on the attached TPU.
 """
@@ -29,7 +30,14 @@ SECONDS = 0.5
 CHUNK = 256
 
 
-def bench_one(preset, dtype, batch, **kw):
+def bench_one(preset, dtype, batch, chunk=None, **kw):
+    global CHUNK
+    if chunk is not None:
+        CHUNK = chunk
+    return _bench_one(preset, dtype, batch, **kw)
+
+
+def _bench_one(preset, dtype, batch, **kw):
     cfg = get_config(preset)
     mc = cfg.model
     sr = cfg.data.sample_rate
@@ -76,7 +84,22 @@ def bench_one(preset, dtype, batch, **kw):
 
 
 if __name__ == "__main__":
-    batches = [int(a) for a in sys.argv[1:]] or [32]
+    batches = []
+    preset, dtype, kw = "shallow_laplace_single", "float32", {}
+    for a in sys.argv[1:]:
+        if a.startswith("preset="):
+            preset = a.split("=", 1)[1]
+        elif a.startswith("dtype="):
+            dtype = a.split("=", 1)[1]
+        elif a.startswith("chunk="):
+            CHUNK = int(a.split("=", 1)[1])
+        elif a.startswith("unroll="):
+            kw["unroll"] = int(a.split("=", 1)[1])
+        elif a.startswith("stream="):
+            kw["stream"] = bool(int(a.split("=", 1)[1]))
+        else:
+            batches.append(int(a))
+    batches = batches or [32]
     print(jax.devices())
     for b in batches:
-        bench_one("shallow_laplace_single", "float32", b)
+        _bench_one(preset, dtype, b, **kw)

@@ -31,7 +31,8 @@ CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 DT = sys.argv[3] if len(sys.argv) > 3 else "float32"
 T = 24000
 ABLATIONS = ("full", "no_cond", "no_prev", "no_buf", "no_resskip",
-             "no_head", "no_sample", "matmuls_only")
+             "no_head", "no_sample", "matmuls_only", "cheap_gate",
+             "no_gate", "unroll2", "unroll4")
 
 
 def build(cfg, ablate, wdt):
@@ -80,8 +81,13 @@ def build(cfg, ablate, wdt):
                          + jnp.dot(h, conv_w[l, 1],
                                    preferred_element_type=jnp.float32)
                          + cc[:, l * 2 * gp:(l + 1) * 2 * gp])
-                z = (jnp.tanh(u[:, :gp]) * jax.nn.sigmoid(u[:, gp:])
-                     ).astype(wdt)
+                if ablate == "no_gate":
+                    z = u[:, :gp].astype(wdt)
+                elif ablate == "cheap_gate":
+                    z = (u[:, :gp] * u[:, gp:]).astype(wdt)
+                else:
+                    z = (jnp.tanh(u[:, :gp]) * jax.nn.sigmoid(u[:, gp:])
+                         ).astype(wdt)
                 if ablate not in ("no_buf", "matmuls_only"):
                     bufs[slot] = h
                 if ablate == "no_resskip":
@@ -118,7 +124,17 @@ def build(cfg, ablate, wdt):
             return (x_t[:, None].astype(wdt) * jnp.ones((1, R), wdt)
                     + in_b[:][None, :]).astype(wdt)
 
-        fb_ref[...] = jax.lax.fori_loop(0, CHUNK, body, fb_ref[...])
+        if ablate in ("unroll2", "unroll4"):
+            k = 2 if ablate == "unroll2" else 4
+
+            def bodyk(j, h):
+                for q in range(k):
+                    h = body(j * k + q, h)
+                return h
+
+            fb_ref[...] = jax.lax.fori_loop(0, CHUNK // k, bodyk, fb_ref[...])
+        else:
+            fb_ref[...] = jax.lax.fori_loop(0, CHUNK, body, fb_ref[...])
 
     return kernel, sum_d
 
