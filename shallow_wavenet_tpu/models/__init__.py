@@ -9,3 +9,6 @@ from shallow_wavenet_tpu.models.wavenet import (  # noqa: F401
     extract_plain_params,
 )
 from shallow_wavenet_tpu.models import heads  # noqa: F401
+from shallow_wavenet_tpu.models.streaming import (  # noqa: F401
+    StreamingSynthesizer,
+)

@@ -1,0 +1,125 @@
+"""Streaming synthesis session tests (models/streaming.py).
+
+The incremental path must be bit-identical (fp32, interpret mode) to one
+batch generate_pallas call over the whole utterance: exact-halo block
+upsampling + teacher-forced ring warm-starts reproduce the batch math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shallow_wavenet_tpu.models import WaveNet, extract_plain_params
+from shallow_wavenet_tpu.models.streaming import (
+    StreamingSynthesizer, upsampler_halo,
+)
+from shallow_wavenet_tpu.ops.ar_kernel import generate_pallas
+
+from tests.test_model import tiny_cfg
+
+
+def setup_stream(head, B=2, F=100, seed=0):
+    cfg = tiny_cfg(head=head, n_stacks=2, stack_size=3)
+    m = WaveNet(cfg)
+    rng = np.random.default_rng(seed)
+    hop = int(np.prod(cfg.upsample_factors))
+    if head == "softmax":
+        x0 = jnp.asarray(rng.integers(0, 256, (1, 2 * hop - 1)), jnp.int32)
+    else:
+        x0 = jnp.asarray(rng.uniform(-1, 1, (1, 2 * hop - 1)), jnp.float32)
+    c0 = jnp.asarray(rng.standard_normal((1, 2, cfg.aux_channels)),
+                     jnp.float32)
+    v = m.init(jax.random.key(3), x0, c0)
+    pp = extract_plain_params(v, cfg)
+    frames = rng.standard_normal((B, F, cfg.aux_channels)).astype(np.float32)
+    return cfg, m, v, pp, frames, hop
+
+
+def test_upsampler_halo_recurrence():
+    assert upsampler_halo((4, 4, 4, 5)) == 2
+    assert upsampler_halo((2, 5)) == 2
+    assert upsampler_halo((10,)) == 1
+
+
+def test_streaming_upsample_matches_full():
+    """Haloed block upsampling == rows of the full-utterance upsample."""
+    cfg, m, v, pp, frames, hop = setup_stream("laplace", F=40)
+    syn = StreamingSynthesizer(pp, m, v, cfg, hop_length=hop, batch=2,
+                               block_frames=32, chunk=64, interpret=True)
+    syn._frames = frames
+    syn._frames_base = 0
+    full = np.asarray(m.apply(v, jnp.asarray(frames),
+                              method="upsample_cond"))
+    # a middle block [8, 24) with halo context on both sides
+    blk = syn._upsample_block(8, 24, last=False)
+    np.testing.assert_array_equal(blk, full[:, 8 * hop:24 * hop])
+    # the first block (true left edge)
+    blk0 = syn._upsample_block(0, 16, last=False)
+    np.testing.assert_array_equal(blk0, full[:, :16 * hop])
+    # the last block (true right edge)
+    blkN = syn._upsample_block(24, 40, last=True)
+    np.testing.assert_array_equal(blkN, full[:, 24 * hop:])
+
+
+@pytest.mark.parametrize("head", ["laplace", "softmax"])
+def test_streaming_equals_batch(head):
+    """Push frames in ragged pieces; the concatenated output must equal one
+    batch kernel call over the full conditioning, bit-exactly (fp32)."""
+    cfg, m, v, pp, frames, hop = setup_stream(head, F=100)
+    B, F, _ = frames.shape
+    syn = StreamingSynthesizer(pp, m, v, cfg, hop_length=hop, batch=B,
+                               block_frames=32, chunk=64, seed=7,
+                               interpret=True)
+    pieces = []
+    for s in range(0, F, 7):                       # ragged 7-frame pushes
+        pieces.append(syn.push(frames[:, s:s + 7]))
+    pieces.append(syn.flush())
+    wav = np.concatenate(pieces, axis=1)
+    T = F * hop
+    assert wav.shape == (B, T)
+    assert syn.samples_emitted == T
+
+    c_up = m.apply(v, jnp.asarray(frames), method="upsample_cond")
+    noise = syn.noise_so_far()[:, :T]
+    oracle = np.asarray(generate_pallas(
+        pp, cfg, c_up, noise=jnp.asarray(noise), chunk=64, interpret=True))
+    np.testing.assert_array_equal(wav, oracle)
+
+
+def test_streaming_block_boundary_invisible():
+    """Different block sizes must produce the identical waveform when fed
+    the identical noise stream."""
+    cfg, m, v, pp, frames, hop = setup_stream("laplace", F=96)
+    B, F, _ = frames.shape
+    outs = []
+    for bf in (32, 64):
+        syn = StreamingSynthesizer(pp, m, v, cfg, hop_length=hop, batch=B,
+                                   block_frames=bf, chunk=64, seed=3,
+                                   interpret=True)
+        w = np.concatenate([syn.push(frames), syn.flush()], axis=1)
+        # same seed, but blocks draw noise in different-shaped pieces —
+        # replay through the batch oracle instead of comparing directly
+        T = F * hop
+        c_up = m.apply(v, jnp.asarray(frames), method="upsample_cond")
+        noise = syn.noise_so_far()[:, :T]
+        oracle = np.asarray(generate_pallas(
+            pp, cfg, c_up, noise=jnp.asarray(noise), chunk=64,
+            interpret=True))
+        np.testing.assert_array_equal(w, oracle)
+        outs.append(w)
+
+
+def test_streaming_rejects_bad_shapes():
+    cfg, m, v, pp, frames, hop = setup_stream("laplace", F=10)
+    syn = StreamingSynthesizer(pp, m, v, cfg, hop_length=hop, batch=2,
+                               block_frames=32, chunk=64, interpret=True)
+    with pytest.raises(ValueError):
+        syn.push(frames[0])                        # missing batch dim
+    with pytest.raises(ValueError):
+        StreamingSynthesizer(pp, m, v, cfg, hop_length=hop, batch=2,
+                             block_frames=3, chunk=64)   # 30 % 64 != 0
+    syn.push(frames)
+    syn.flush()
+    with pytest.raises(RuntimeError):
+        syn.push(frames)
