@@ -1,8 +1,17 @@
-"""MCD evaluation CLI (SURVEY.md §5.5 eval job; metric of BASELINE.json:2).
+"""Objective evaluation CLI (SURVEY.md §5.5 eval job; metric of
+BASELINE.json:2).
 
-Mel-cepstral distortion between reference wavs (scp) and generated wavs
-(<gen-dir>/<name>), computed with the in-repo mcep analyzer (SURVEY.md
-§A.5) — frame-aligned copy-synthesis, no DTW.
+Reference-vs-generated metrics, frame-aligned copy-synthesis (no DTW),
+all computed with the in-repo DSP (SURVEY.md §A.5; no SPTK/WORLD):
+
+- MCD (dB): mel-cepstral distortion, the primary fidelity metric.
+- F0 RMSE (Hz) over frames both tracks call voiced, and F0 RMSE in cents
+  (log-scale, perceptually uniform).
+- V/UV error rate: fraction of frames where voicing decisions disagree.
+- LSD (dB): log-spectral distortion over STFT magnitudes.
+
+The reference repo family evaluates vocoders with exactly this metric set
+(MCD first); `run.py` stage 7 invokes this CLI after decode.
 """
 
 from __future__ import annotations
@@ -23,6 +32,55 @@ from shallow_wavenet_tpu.data.dataset import read_file_list
 log = logging.getLogger("mcd_eval")
 
 
+def eval_pair(ref: np.ndarray, gen: np.ndarray, cfg) -> dict:
+    """All metrics for one (reference, generated) waveform pair."""
+    import jax.numpy as jnp
+
+    from shallow_wavenet_tpu.ops.f0 import estimate_f0
+    from shallow_wavenet_tpu.ops.mcep import mcd, mcep_analysis
+    from shallow_wavenet_tpu.ops.stft import stft_magnitude
+
+    n = min(len(ref), len(gen))
+    ref, gen = jnp.asarray(ref[:n]), jnp.asarray(gen[:n])
+    dc, ns = cfg.data, cfg.noise_shaping
+
+    mc_r = mcep_analysis(ref, dc.n_fft, dc.hop_length, dc.win_length,
+                         ns.mcep_order, ns.alpha)
+    mc_g = mcep_analysis(gen, dc.n_fft, dc.hop_length, dc.win_length,
+                         ns.mcep_order, ns.alpha)
+    out = {"mcd_db": float(mcd(mc_r, mc_g))}
+
+    # F0 + voicing agreement
+    f0_r, vuv_r = estimate_f0(ref, dc.sample_rate, dc.hop_length,
+                              f0_min=dc.f0_min, f0_max=dc.f0_max)
+    f0_g, vuv_g = estimate_f0(gen, dc.sample_rate, dc.hop_length,
+                              f0_min=dc.f0_min, f0_max=dc.f0_max)
+    m = min(f0_r.shape[-1], f0_g.shape[-1])
+    f0_r, vuv_r, f0_g, vuv_g = f0_r[:m], vuv_r[:m], f0_g[:m], vuv_g[:m]
+    both = np.asarray((vuv_r > 0.5) & (vuv_g > 0.5))
+    out["vuv_error_rate"] = float(np.mean(
+        np.asarray(vuv_r > 0.5) != np.asarray(vuv_g > 0.5)))
+    if both.any():
+        dr = np.asarray(f0_r)[both]
+        dg = np.asarray(f0_g)[both]
+        out["f0_rmse_hz"] = float(np.sqrt(np.mean((dr - dg) ** 2)))
+        cents = 1200.0 * np.log2(np.maximum(dg, 1e-6)
+                                 / np.maximum(dr, 1e-6))
+        out["f0_rmse_cents"] = float(np.sqrt(np.mean(cents ** 2)))
+    else:
+        out["f0_rmse_hz"] = None
+        out["f0_rmse_cents"] = None
+
+    # log-spectral distortion over STFT magnitudes
+    sr_mag = stft_magnitude(ref, dc.n_fft, dc.hop_length, dc.win_length)
+    sg_mag = stft_magnitude(gen, dc.n_fft, dc.hop_length, dc.win_length)
+    k = min(sr_mag.shape[0], sg_mag.shape[0])
+    d = 20.0 * (jnp.log10(jnp.maximum(sr_mag[:k], 1e-8))
+                - jnp.log10(jnp.maximum(sg_mag[:k], 1e-8)))
+    out["lsd_db"] = float(jnp.mean(jnp.sqrt(jnp.mean(d * d, axis=-1))))
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ref-scp", required=True)
@@ -33,10 +91,6 @@ def main(argv=None):
     setup_logging()
     cfg = resolve_config(args)
 
-    import jax.numpy as jnp
-    from shallow_wavenet_tpu.ops.mcep import mcd, mcep_analysis
-
-    ns = cfg.noise_shaping
     per_utt = {}
     for wp in read_file_list(args.ref_scp):
         gen_path = Path(args.gen_dir) / Path(wp).name
@@ -45,17 +99,24 @@ def main(argv=None):
             continue
         ref, _ = read_wav(wp)
         gen, _ = read_wav(gen_path)
-        mc_r = mcep_analysis(jnp.asarray(ref), cfg.data.n_fft,
-                             cfg.data.hop_length, cfg.data.win_length,
-                             ns.mcep_order, ns.alpha)
-        mc_g = mcep_analysis(jnp.asarray(gen), cfg.data.n_fft,
-                             cfg.data.hop_length, cfg.data.win_length,
-                             ns.mcep_order, ns.alpha)
-        per_utt[Path(wp).name] = float(mcd(mc_r, mc_g))
-        log.info("%s: MCD %.3f dB", Path(wp).name, per_utt[Path(wp).name])
+        m = eval_pair(ref, gen, cfg)
+        per_utt[Path(wp).name] = m
+        log.info("%s: MCD %.3f dB  F0-RMSE %s Hz  VUV-err %.3f  LSD %.2f dB",
+                 Path(wp).name, m["mcd_db"],
+                 f"{m['f0_rmse_hz']:.1f}" if m["f0_rmse_hz"] is not None
+                 else "n/a",
+                 m["vuv_error_rate"], m["lsd_db"])
+
+    def agg(key):
+        vals = [m[key] for m in per_utt.values() if m.get(key) is not None]
+        return float(np.mean(vals)) if vals else None
 
     summary = {
-        "mcd_db_mean": float(np.mean(list(per_utt.values()))) if per_utt else None,
+        "mcd_db_mean": agg("mcd_db"),
+        "f0_rmse_hz_mean": agg("f0_rmse_hz"),
+        "f0_rmse_cents_mean": agg("f0_rmse_cents"),
+        "vuv_error_rate_mean": agg("vuv_error_rate"),
+        "lsd_db_mean": agg("lsd_db"),
         "per_utterance": per_utt,
     }
     log.info("mean MCD: %s dB over %d utterances", summary["mcd_db_mean"],

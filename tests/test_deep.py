@@ -40,7 +40,10 @@ def test_deep_not_pallas_but_scan_generates():
     assert y.shape == (B, F * hop - 1, 2)
     assert bool(jnp.all(jnp.isfinite(y)))
 
-    assert not pallas_supported(cfg)  # 78 MB > VMEM budget
+    # beyond-capacity requests must still be rejected by the static gate
+    # (the budget is now the physical 128 MB/core, so the deep config fits
+    # at small batches; batch 96 fp32 resident — 162 MB — does not)
+    assert not pallas_supported(cfg, batch=96, chunk=64)
     pp = extract_plain_params(v, cfg)
     c_up = m.apply(v, c, method="upsample_cond")
     wav = generate_fast(pp, cfg, c_up, jax.random.key(1))

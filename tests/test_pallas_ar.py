@@ -121,7 +121,9 @@ def test_deep_config_supported_in_bf16():
     from shallow_wavenet_tpu.ops.ar_kernel import vmem_bytes_estimate
 
     deep = get_config("deep_baseline").model
-    assert not pallas_supported(deep, batch=4)
+    # fp32 tops out well below bf16: a batch the bf16 estimate admits can
+    # exceed the 128 MB physical budget in fp32
+    assert not pallas_supported(deep, batch=96, chunk=64)
     assert pallas_supported(deep, batch=4, chunk=256, dtype="bfloat16"), \
         vmem_bytes_estimate(deep, 4, 256, "bfloat16")
 
@@ -228,11 +230,11 @@ def test_streamed_vmem_gate_and_probe_shortcircuit():
     )
 
     deep = get_config("deep_baseline").model
-    assert (vmem_bytes_estimate(deep, 48, 64, "bfloat16", stream=True)
-            < vmem_bytes_estimate(deep, 48, 64, "bfloat16"))
-    assert pallas_supported(deep, batch=48, chunk=64, dtype="bfloat16",
+    assert (vmem_bytes_estimate(deep, 160, 64, "bfloat16", stream=True)
+            < vmem_bytes_estimate(deep, 160, 64, "bfloat16"))
+    assert pallas_supported(deep, batch=160, chunk=64, dtype="bfloat16",
                             stream=True)
-    assert not pallas_supported(deep, batch=48, chunk=64, dtype="bfloat16")
+    assert not pallas_supported(deep, batch=160, chunk=64, dtype="bfloat16")
     # all tiny_cfg dilations <= 64: stream tier must short-circuit to False
     assert probe_pallas(tiny_cfg(), batch=2, chunk=64, stream=True) is False
 
