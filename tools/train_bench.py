@@ -1,0 +1,80 @@
+"""Training-throughput microbenchmark on the attached TPU.
+
+Times the jitted train step (and the K-step scanned variant) on random
+batches of the config-2 geometry. Usage:
+  python tools/train_bench.py [preset] [batch] [K ...]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from shallow_wavenet_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from shallow_wavenet_tpu.config import get_config  # noqa: E402
+from shallow_wavenet_tpu.training import Trainer  # noqa: E402
+
+PRESET = sys.argv[1] if len(sys.argv) > 1 else "shallow_laplace_single"
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+KS = [int(a) for a in sys.argv[3:]] or [1, 8, 32]
+
+
+def main():
+    cfg = get_config(PRESET)
+    import dataclasses
+
+    cfg.data = dataclasses.replace(cfg.data, batch_size=BATCH)
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    rf = cfg.model.receptive_field
+    hop = cfg.data.hop_length
+    pad = -(-rf // hop) * hop
+    total = pad + cfg.data.segment_length
+    rng = np.random.default_rng(0)
+
+    def host_batch():
+        return {
+            "x": rng.uniform(-1, 1, (BATCH, total)).astype(np.float32),
+            "cond": rng.standard_normal(
+                (BATCH, total // hop, cfg.model.aux_channels)
+            ).astype(np.float32),
+        }
+
+    n_samples = BATCH * total
+    print(f"{PRESET} B={BATCH} segment+rf={total} samples/batch={n_samples} "
+          f"device={jax.devices()}")
+    for K in KS:
+        if K == 1:
+            b = tr.shard_batch(host_batch())
+            state, m = tr.step_fn(state, b)          # compile
+            np.asarray(m["loss"])                    # D2H = real barrier
+            t0 = time.time()
+            n = 30
+            for _ in range(n):
+                state, m = tr.step_fn(state, b)
+            np.asarray(m["loss"])
+            dt = (time.time() - t0) / n
+        else:
+            bs = tr.shard_batches([host_batch() for _ in range(K)])
+            state, m = tr.multi_step_fn(state, bs)   # compile
+            np.asarray(m["loss"])                    # D2H = real barrier
+            calls = max(1, 30 // K)
+            t0 = time.time()
+            for _ in range(calls):
+                state, m = tr.multi_step_fn(state, bs)
+            np.asarray(m["loss"])
+            dt = (time.time() - t0) / (calls * K)
+        print(f"K={K:3d}: {dt * 1e3:7.2f} ms/step  {1 / dt:7.1f} steps/s  "
+              f"{n_samples / dt / 1e6:7.2f} M samples/s")
+
+
+if __name__ == "__main__":
+    main()
