@@ -13,6 +13,32 @@ import threading
 from typing import Callable, Iterator
 
 
+class GroupSampler:
+    """Wraps a batch sampler to yield K-stacked groups (leaf shape
+    (K, B, ...)) for the trainer's multi-step dispatch. `state()` reflects
+    the underlying sampler after the last FULL group drawn, so
+    checkpoint-resume replays group-aligned — the trainer checkpoints only
+    at group boundaries."""
+
+    def __init__(self, sampler, k: int):
+        self._sampler = sampler
+        self._k = int(k)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import numpy as np
+
+        batches = [next(self._sampler) for _ in range(self._k)]
+        return {key: np.stack([b[key] for b in batches])
+                for key in batches[0]}
+
+    def state(self):
+        return (self._sampler.state()
+                if hasattr(self._sampler, "state") else None)
+
+
 class Prefetcher:
     def __init__(self, sampler: Iterator[dict], put_fn: Callable | None = None,
                  depth: int = 2):

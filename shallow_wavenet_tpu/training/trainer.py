@@ -199,10 +199,16 @@ class Trainer:
     def shard_batches(self, batches: list[dict]) -> dict:
         """K host batches -> stacked device leaves (K, B, ...) with the
         data axis on dim 1 — the input of multi_step_fn."""
-        keys = batches[0].keys()
+        stacked = {k: np.stack([b[k] for b in batches])
+                   for k in batches[0]}
+        return self.shard_stacked(stacked)
+
+    def shard_stacked(self, stacked: dict) -> dict:
+        """Already-stacked (K, B, ...) host leaves -> sharded device
+        arrays. Runs inside the prefetch worker thread in multi-step mode
+        so the H2D transfer overlaps the device step."""
         if self.cfg.model.n_speakers == 0:
-            keys = [k for k in keys if k != "speaker"]
-        stacked = {k: np.stack([b[k] for b in batches]) for k in keys}
+            stacked = {k: v for k, v in stacked.items() if k != "speaker"}
         if self.mesh is None:
             return jax.tree.map(jnp.asarray, stacked)
         data = NamedSharding(self.mesh, P(None, self.cfg.mesh.data_axis))
@@ -292,11 +298,13 @@ class Trainer:
 
         tb = MetricsWriter(workdir / "tb")
         K = max(1, int(cfg.train.steps_per_call))
-        # overlap host batch assembly (+ H2D in single-step mode) with the
-        # device step; in multi-step mode the K-stack is transferred as one
-        # array set per call
+        # overlap host batch assembly AND the H2D transfer with the device
+        # step: the worker thread stacks (multi-step mode) and device_puts
+        from shallow_wavenet_tpu.data.prefetch import GroupSampler
+
         prefetch = Prefetcher(
-            sampler, put_fn=self.shard_batch if K == 1 else None)
+            sampler if K == 1 else GroupSampler(sampler, K),
+            put_fn=self.shard_batch if K == 1 else self.shard_stacked)
         start = int(state.step)
         t0 = time.time()
         samples_per_batch = None
@@ -311,11 +319,13 @@ class Trainer:
                     state, m = self.step_fn(state, batch)
                     last = m
                 else:
-                    bs = [next(prefetch) for _ in range(k)]
+                    group = next(prefetch)      # device (K, B, ...) leaves
                     if samples_per_batch is None:
-                        samples_per_batch = int(np.prod(bs[0]["x"].shape))
-                    state, ms = self.multi_step_fn(state,
-                                                   self.shard_batches(bs))
+                        samples_per_batch = int(
+                            np.prod(group["x"].shape)) // K
+                    if k < K:                   # run tail (steps % K != 0)
+                        group = {kk: v[:k] for kk, v in group.items()}
+                    state, ms = self.multi_step_fn(state, group)
                     last = {kk: v[-1] for kk, v in ms.items()}
                 prev, step = step, step + k
                 # cadence: act whenever the call crossed a boundary (steps
