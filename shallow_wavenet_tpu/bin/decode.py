@@ -119,9 +119,15 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
     B = len(utts)
     wav = None
     if use_pallas:
-        for dt, strm in (("float32", False), ("float32", True),
-                         ("bfloat16", False), ("bfloat16", True)):
-            if not probe_pallas(cfg.model, batch=B, chunk=64, dtype=dt,
+        # the final chunk-32 streamed tier halves the per-layer ring
+        # windows AND streams d==64 layers, which extends the deep
+        # config's batch frontier well past the chunk-64 tiers'
+        for dt, strm, chunk in (("float32", False, 64),
+                                ("float32", True, 64),
+                                ("bfloat16", False, 64),
+                                ("bfloat16", True, 64),
+                                ("bfloat16", True, 32)):
+            if not probe_pallas(cfg.model, batch=B, chunk=chunk, dtype=dt,
                                 stream=strm):
                 continue
             try:
@@ -130,11 +136,11 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
                     # only one segment of conditioning at a time
                     wav = np.asarray(generate_segmented(
                         pp, cfg.model, c_up, noise,
-                        segment_samples, chunk=64, dtype=dt, stream=strm))
+                        segment_samples, chunk=chunk, dtype=dt, stream=strm))
                 else:
                     wav = np.asarray(generate_pallas(
-                        pp, cfg.model, c_up, noise=noise, chunk=64, dtype=dt,
-                        stream=strm))
+                        pp, cfg.model, c_up, noise=noise, chunk=chunk,
+                        dtype=dt, stream=strm))
                 break
             except Exception:  # compile limit at this (B, T) — next tier
                 logging.getLogger("decode").warning(

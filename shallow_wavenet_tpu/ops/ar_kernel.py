@@ -115,8 +115,9 @@ def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
         w += Q * R
     bufs = (sum_d + 1) * batch * R   # ring buffers + encoded-feedback carry
     bufs += len(strm_ids) * chunk * batch * R      # HBM ring windows
-    stream_blk = 2 * chunk * batch * (C + 3)   # cond + noise + teacher + out
-    return wb * (w + bufs) + 4 * stream_blk
+    cond_blk = 2 * chunk * batch * C           # streamed at the weight dtype
+    other_blk = 2 * chunk * batch * 3          # noise + teacher + out (fp32)
+    return wb * (w + bufs + cond_blk) + 4 * other_blk
 
 
 # Hardware-probed ceiling (v5e, 2026-08): the deep-baseline bf16 kernel at
@@ -509,11 +510,15 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     G = cfg.gate_channels
     wdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 
-    if chunk % 64 != 0:
+    if chunk % 32 != 0:
         # chunk rides the SUBLANE/major dims of the streamed blocks (they
         # are time-major: (chunk, B, C) / (chunk, B)), so the hard floor is
-        # the 8-row sublane tile; 64 keeps DMA blocks comfortably sized
-        raise ValueError("chunk must be a multiple of 64")
+        # the 8-row sublane tile. 32 is the smallest size worth using: it
+        # halves the streamed-ring VMEM windows AND makes d == 64 layers
+        # streamable (window = chunk rows per streamed layer), which is
+        # what sets the deep config's batch frontier; 64 amortizes DMA and
+        # loop overhead slightly better when VMEM is not the binding limit.
+        raise ValueError("chunk must be a multiple of 32")
     n_chunks = -(-T // chunk)
     T_pad = n_chunks * chunk
     if T_pad != T:
@@ -592,8 +597,12 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     weights = tuple(jnp.asarray(w, wdt) for w in weights)
 
     # time-major layouts: the per-sample dynamic index must not land on the
-    # minor (lane) dim — Mosaic requires 128-multiple lane offsets
-    inputs = [jnp.transpose(c_up, (1, 0, 2)), jnp.transpose(noise, (1, 0))]
+    # minor (lane) dim — Mosaic requires 128-multiple lane offsets.
+    # The kernel casts cond to wdt before its matmul, so for the bf16
+    # kernel the stream itself is sent as bf16 — bitwise identical values,
+    # half the cond stream's (double-buffered) VMEM footprint.
+    inputs = [jnp.transpose(c_up, (1, 0, 2)).astype(wdt),
+              jnp.transpose(noise, (1, 0))]
     in_specs = [
         pl.BlockSpec((chunk, B, C), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),

@@ -219,6 +219,33 @@ def test_streamed_rings_bitexact_vs_resident(head):
     np.testing.assert_array_equal(resident, streamed)
 
 
+def test_chunk32_streamed_bitexact_vs_chunk64():
+    """chunk=32 (the new floor) must generate the same waveform as
+    chunk=64, resident or streamed — at chunk 32 the d==64 layers become
+    streamable too (window == 2 ring periods per 64 samples), so this
+    exercises the smaller-window DMA schedule end to end."""
+    from shallow_wavenet_tpu.ops.ar_kernel import _stream_split
+
+    cfg, pp, c_up = _setup_big_dil("laplace")
+    assert 64 in cfg.dilations
+    strm32 = _stream_split(cfg.dilations, 32, True)[1]
+    strm64 = _stream_split(cfg.dilations, 64, True)[1]
+    assert len(strm32) > len(strm64), "chunk 32 must stream the d=64 layers"
+    B, T, _ = c_up.shape
+    noise = jax.random.uniform(jax.random.key(5), (B, T),
+                               minval=1e-6, maxval=1 - 1e-6)
+    ref = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                     noise=noise, chunk=64, interpret=True))
+    c32 = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                     noise=noise, chunk=32, interpret=True,
+                                     unroll=2))
+    c32s = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                      noise=noise, chunk=32, interpret=True,
+                                      unroll=2, stream=True))
+    np.testing.assert_array_equal(ref, c32)
+    np.testing.assert_array_equal(ref, c32s)
+
+
 def test_streamed_vmem_gate_and_probe_shortcircuit():
     """The streamed estimate drops the large-dilation rings from VMEM (deep
     config: admits bf16 batch 48 where the resident gate tops out at 16);

@@ -1,6 +1,6 @@
 """Sweep AR kernel batch/chunk/dtype on the real chip; prints RTF table.
 
-Usage: python tools/sweep_ar.py [preset] [B,chunk,dtype ...]
+Usage: python tools/sweep_ar.py [preset] [B,chunk,dtype[,stream] ...]
 Defaults: shallow_laplace_single over a standard grid.
 """
 
@@ -51,17 +51,19 @@ def main():
     if len(sys.argv) > 2:
         grid = []
         for spec in sys.argv[2:]:
-            b, ch, dt = spec.split(",")
-            grid.append((int(b), int(ch), dt))
+            parts = spec.split(",")
+            b, ch, dt = int(parts[0]), int(parts[1]), parts[2]
+            stream = len(parts) > 3 and parts[3] in ("1", "stream", "true")
+            grid.append((b, ch, dt, stream))
     else:
-        grid = [(32, 256, "float32"), (64, 256, "float32"),
-                (64, 128, "float32"), (128, 128, "float32"),
-                (128, 128, "bfloat16"), (64, 512, "float32")]
+        grid = [(32, 256, "float32", False), (64, 256, "float32", False),
+                (64, 128, "float32", False), (128, 128, "float32", False),
+                (128, 128, "bfloat16", False), (64, 512, "float32", False)]
 
     print(f"preset={preset} T={t_samples}")
-    for B, chunk, dt in grid:
-        est = vmem_bytes_estimate(mc, B, chunk, dt)
-        if not pallas_supported(mc, B, chunk, dt):
+    for B, chunk, dt, stream in grid:
+        est = vmem_bytes_estimate(mc, B, chunk, dt, stream)
+        if not pallas_supported(mc, B, chunk, dt, stream):
             print(f"B={B:4d} chunk={chunk:4d} {dt:9s} SKIP vmem={est>>20}MB")
             continue
         cond = jnp.asarray(
@@ -69,7 +71,7 @@ def main():
         c_up = upsample(cond)
         np.asarray(c_up[0, :4])
         gen = lambda: generate_pallas(pp, mc, c_up, jax.random.key(1),
-                                      chunk=chunk, dtype=dt)
+                                      chunk=chunk, dtype=dt, stream=stream)
         t0 = time.time()
         wav = gen()
         np.asarray(wav[0])
@@ -82,7 +84,7 @@ def main():
             best = min(best, time.time() - t0)
         rtf = best / (B * t_samples / sr)
         us = best / t_samples * 1e6
-        print(f"B={B:4d} chunk={chunk:4d} {dt:9s} vmem={est>>20:3d}MB "
+        print(f"B={B:4d} chunk={chunk:4d} {dt:9s}{' strm' if stream else ''} vmem={est>>20:3d}MB "
               f"step={us:6.2f}us wall={best:6.3f}s RTF={rtf:.5f} "
               f"(compile {compile_s:.0f}s)", flush=True)
 
