@@ -1,0 +1,141 @@
+"""Trainable PyTorch twin of the WaveNet TRAINING step (SURVEY.md §4.1).
+
+While tests/torch_miniref.py checks the *forward* math functionally, this
+module is an end-to-end autograd twin: it consumes the flax-initialized
+parameter tree, runs the identical teacher-forced loss, and optimizes with
+torch.optim.Adam + clip_grad_norm_ — the reference's training recipe
+(SURVEY.md §3.3, component C11: "CE or Laplace NLL, Adam"). The
+training-trajectory parity test (tests/test_train_parity_torch.py) runs N
+optimizer steps in both frameworks from the same init on the same batches
+and asserts the loss curves track — the executable stand-in for
+BASELINE.json's "training matches the reference PyTorch loss curves" while
+/root/reference stays unmountable (SURVEY.md §0).
+
+Keep in exact sync with shallow_wavenet_tpu/models/wavenet.py and
+training/trainer.py (fp32 path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+
+def params_to_torch(params) -> dict:
+    """Flax param pytree -> same-nested dict of torch Parameters."""
+    if isinstance(params, dict):
+        return {k: params_to_torch(v) for k, v in params.items()}
+    t = torch.from_numpy(np.array(params, dtype=np.float32, copy=True))
+    return torch.nn.Parameter(t)
+
+
+def flat_params(tp) -> list:
+    if isinstance(tp, dict):
+        out = []
+        for k in sorted(tp):
+            out.extend(flat_params(tp[k]))
+        return out
+    return [tp]
+
+
+def _dense(x, node, bias=True):
+    y = x @ node["kernel"]
+    return y + node["bias"] if bias else y
+
+
+def _causal_conv(x, node, dilation):
+    """x (B, T, C); flax kernel (k, C, Fo); left-pad (k-1)*d."""
+    kern = node["kernel"]
+    k = kern.shape[0]
+    w = kern.permute(2, 1, 0)  # (Fo, C, k)
+    pad = (k - 1) * dilation
+    xt = x.permute(0, 2, 1)
+    y = F.conv1d(F.pad(xt, (pad, 0)), w, node["bias"], dilation=dilation)
+    return y.permute(0, 2, 1)
+
+
+def _same_conv(x, node):
+    """flax nn.Conv SAME padding, odd kernel."""
+    kern = node["kernel"]
+    w = kern.permute(2, 1, 0)
+    xt = x.permute(0, 2, 1)
+    y = F.conv1d(xt, w, node["bias"], padding=kern.shape[0] // 2)
+    return y.permute(0, 2, 1)
+
+
+def upsample_cond(tp, cfg, cond, speaker=None):
+    up = tp["upsampler"]
+    c = F.leaky_relu(_dense(cond, up["proj"]), 0.1)
+    for si, f in enumerate(cfg.upsample_factors):
+        c = torch.repeat_interleave(c, f, dim=1)
+        c = F.leaky_relu(_same_conv(c, up[f"smooth{si}"]), 0.1)
+    if cfg.n_speakers > 0:
+        c = c + tp["speaker_embed"]["embedding"][speaker][:, None, :]
+    return c
+
+
+def forward(tp, cfg, x_prev, cond, speaker=None):
+    """Teacher-forced forward == WaveNet.__call__ (fp32)."""
+    t = x_prev.shape[1]
+    c_up = upsample_cond(tp, cfg, cond, speaker)[:, 1 : t + 1]
+    if cfg.head == "softmax":
+        h = tp["input_embed"]["embedding"][x_prev]
+    else:
+        h = _dense(x_prev[..., None], tp["input_proj"])
+    half = cfg.gate_channels // 2
+    skips = 0.0
+    for li in range(len(cfg.dilations)):
+        lp = tp[f"layer{li}"]
+        u = _causal_conv(h, lp["conv"], cfg.dilations[li])
+        u = u + _dense(c_up, lp["cond"], bias=False)
+        z = torch.tanh(u[..., :half]) * torch.sigmoid(u[..., half:])
+        h = h + _dense(z, lp["res"])
+        skips = skips + _dense(z, lp["skip"])
+    out = F.relu(skips)
+    out = F.relu(_dense(out, tp["head1"]))
+    return _dense(out, tp["head2"])
+
+
+def loss_fn(tp, cfg, seg_len, x, cond, speaker=None,
+            quantize=None):
+    """== Trainer._loss_fn: shift, forward, mask to the segment tail."""
+    if cfg.head == "softmax":
+        q = quantize(x)
+        x_in, target = q[:, :-1], q[:, 1:]
+    else:
+        x_in, target = x[:, :-1], x[:, 1:]
+    out = forward(tp, cfg, x_in, cond, speaker)
+    t = x_in.shape[1]
+    mask = (torch.arange(t) >= (t - seg_len)).float()[None, :]
+    if cfg.head == "softmax":
+        logp = F.log_softmax(out, dim=-1)
+        nll = -torch.gather(logp, -1, target[..., None].long())[..., 0]
+    else:
+        mu = out[..., 0]
+        log_b = torch.clamp(out[..., 1], cfg.log_b_min, cfg.log_b_max)
+        nll = np.log(2.0) + log_b + (target - mu).abs() * torch.exp(-log_b)
+    mask = mask.expand_as(nll)
+    return (nll * mask).sum() / mask.sum().clamp(min=1.0)
+
+
+def train_steps(tp, cfg, seg_len, batches, lr, clip_norm,
+                quantize=None) -> list[float]:
+    """Adam + global-norm clip over the given batches; returns the per-step
+    losses. Mirrors Trainer._step_core (optax.clip_by_global_norm + adam)."""
+    ps = flat_params(tp)
+    opt = torch.optim.Adam(ps, lr=lr, betas=(0.9, 0.999), eps=1e-8)
+    losses = []
+    for b in batches:
+        opt.zero_grad()
+        loss = loss_fn(tp, cfg, seg_len,
+                       torch.from_numpy(b["x"]),
+                       torch.from_numpy(b["cond"]),
+                       speaker=(torch.from_numpy(b["speaker"]).long()
+                                if "speaker" in b else None),
+                       quantize=quantize)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(ps, clip_norm)
+        opt.step()
+        losses.append(float(loss.detach()))
+    return losses
