@@ -1,0 +1,322 @@
+// Native WORLD/SPTK-equivalent feature extraction — CPU fast path for the
+// data-prep stage's pooled workers.
+//
+// The reference's feature extractor calls WORLD (C++: F0 / envelope /
+// aperiodicity) and SPTK (C: mcep/freqt) per utterance from a
+// multiprocessing pool (SURVEY.md §3.2, components C12/C13). This file is
+// that native surface rebuilt in-repo: the SAME algorithms as the JAX ops
+// (ops/f0.py estimate_f0 / band_aperiodicity, ops/mcep.py mcep_analysis —
+// kept in exact sync; cross-checked by tests/test_native_featext.py) so the
+// pooled numpy-only workers can emit the full `world` feature set without
+// importing JAX. Exposed via a plain C ABI and loaded with ctypes
+// (utils/native.py; no pybind11 in this image).
+//
+// All internal math is double precision; outputs are float32. The JAX ops
+// run fp32, so parity tests use tolerances, not bit-equality.
+
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+constexpr double kPi = 3.14159265358979323846;
+
+// ---------------------------------------------------------------------------
+// Iterative radix-2 complex FFT (in-place, size must be a power of two).
+// Sizes here are <= 8192; double precision throughout.
+void fft(std::vector<double>& re, std::vector<double>& im, bool inverse) {
+  const size_t n = re.size();
+  // bit-reversal permutation
+  for (size_t i = 1, j = 0; i < n; ++i) {
+    size_t bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) {
+      std::swap(re[i], re[j]);
+      std::swap(im[i], im[j]);
+    }
+  }
+  for (size_t len = 2; len <= n; len <<= 1) {
+    const double ang = 2.0 * kPi / static_cast<double>(len) *
+                       (inverse ? 1.0 : -1.0);
+    const double wr = std::cos(ang), wi = std::sin(ang);
+    for (size_t i = 0; i < n; i += len) {
+      double cr = 1.0, ci = 0.0;
+      for (size_t j = 0; j < len / 2; ++j) {
+        const size_t a = i + j, b = i + j + len / 2;
+        const double xr = re[b] * cr - im[b] * ci;
+        const double xi = re[b] * ci + im[b] * cr;
+        re[b] = re[a] - xr;
+        im[b] = im[a] - xi;
+        re[a] += xr;
+        im[a] += xi;
+        const double ncr = cr * wr - ci * wi;
+        ci = cr * wi + ci * wr;
+        cr = ncr;
+      }
+    }
+  }
+  if (inverse) {
+    const double inv = 1.0 / static_cast<double>(n);
+    for (size_t i = 0; i < n; ++i) {
+      re[i] *= inv;
+      im[i] *= inv;
+    }
+  }
+}
+
+// Power spectrum |FFT(x)|^2 of a real frame zero-padded to n_fft, then
+// inverse-FFT back to the (real, even) autocorrelation — Wiener-Khinchin,
+// the same route as ops/f0.py _norm_autocorr.
+void autocorr_via_fft(const std::vector<double>& x, size_t n_fft,
+                      std::vector<double>& ac_out) {
+  std::vector<double> re(n_fft, 0.0), im(n_fft, 0.0);
+  for (size_t i = 0; i < x.size(); ++i) re[i] = x[i];
+  fft(re, im, /*inverse=*/false);
+  for (size_t i = 0; i < n_fft; ++i) {
+    re[i] = re[i] * re[i] + im[i] * im[i];
+    im[i] = 0.0;
+  }
+  fft(re, im, /*inverse=*/true);
+  ac_out.assign(re.begin(), re.end());
+}
+
+// numpy/jnp reflect padding index: sample at global position i of a signal
+// padded `pad` samples on each side (edge sample not repeated).
+inline int64_t reflect_index(int64_t i, int64_t t) {
+  while (i < 0 || i >= t) {
+    if (i < 0) i = -i;
+    if (i >= t) i = 2 * t - 2 - i;
+  }
+  return i;
+}
+
+// Hann window, numpy convention: np.hanning(win+1)[:-1].
+std::vector<double> hann(int win) {
+  std::vector<double> w(win);
+  for (int i = 0; i < win; ++i)
+    w[i] = 0.5 - 0.5 * std::cos(2.0 * kPi * i / static_cast<double>(win));
+  return w;
+}
+
+// Centered frame (reflect padding win/2 each side) starting at
+// frame_index * hop, mean-removed iff remove_mean, then windowed.
+void window_frame(const float* x, int64_t t, int win, int hop, int64_t frame,
+                  const std::vector<double>& w, bool remove_mean,
+                  std::vector<double>& out) {
+  const int64_t pad = win / 2;
+  out.resize(win);
+  double mean = 0.0;
+  for (int i = 0; i < win; ++i) {
+    out[i] = x[reflect_index(frame * hop - pad + i, t)];
+    mean += out[i];
+  }
+  if (remove_mean) {
+    mean /= win;
+    for (int i = 0; i < win; ++i) out[i] -= mean;
+  }
+  for (int i = 0; i < win; ++i) out[i] *= w[i];
+}
+
+// Normalized autocorrelation of the (already windowed) analysis window
+// itself — the de-bias divisor of ops/f0.py (clipped below at 1e-3).
+std::vector<double> window_autocorr(const std::vector<double>& w,
+                                    size_t n_fft) {
+  std::vector<double> wac;
+  autocorr_via_fft(w, n_fft, wac);
+  const double w0 = wac[0];
+  for (auto& v : wac) v = std::max(v / w0, 1e-3);
+  return wac;
+}
+
+inline size_t next_pow2(size_t n) {
+  size_t p = 1;
+  while (p < n) p <<= 1;
+  return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// F0 + voicing, the exact algorithm of ops/f0.py estimate_f0:
+// biased normalized autocorrelation -> peak over [lag_min, lag_max] ->
+// re-maximize the window-de-biased values in a +-3 neighborhood ->
+// parabolic interpolation -> clarity/energy/range voicing gate.
+// x: (t,) float32. out_f0/out_vuv: (n_frames,) float32,
+// n_frames = 1 + (t + 2*(win/2) - win) / hop.
+void swt_f0_estimate(const float* x, int64_t t, double sample_rate, int hop,
+                     int win, double f0_min, double f0_max, double threshold,
+                     float* out_f0, float* out_vuv, int64_t n_frames) {
+  const int lag_min = static_cast<int>(sample_rate / f0_max);
+  const int lag_max = static_cast<int>(std::ceil(sample_rate / f0_min));
+  const size_t n_fft = next_pow2(static_cast<size_t>(win + lag_max + 1));
+  const int span = lag_max - lag_min;
+
+  const std::vector<double> w = hann(win);
+  const std::vector<double> wac = window_autocorr(w, n_fft);
+
+  std::vector<double> frame, ac;
+  for (int64_t f = 0; f < n_frames; ++f) {
+    window_frame(x, t, win, hop, f, w, /*remove_mean=*/true, frame);
+    double energy = 0.0;
+    for (double v : frame) energy += v * v;
+    energy /= win;
+
+    autocorr_via_fft(frame, n_fft, ac);
+    const double ac0 = std::max(ac[0], 1e-12);
+
+    // biased-peak selection (first max, matching jnp.argmax tie-breaking)
+    int k0 = 0;
+    double best = -1e300;
+    for (int k = 0; k <= span; ++k) {
+      const double v = ac[lag_min + k] / ac0;
+      if (v > best) {
+        best = v;
+        k0 = k;
+      }
+    }
+    // de-biased re-maximization in [k0-3, k0+3] (indices clipped to range)
+    auto debiased = [&](int k) {
+      return ac[lag_min + k] / ac0 / wac[lag_min + k];
+    };
+    int k = 0;
+    best = -1e300;
+    for (int off = -3; off <= 3; ++off) {
+      const int kk = std::min(std::max(k0 + off, 0), span);
+      const double v = debiased(kk);
+      if (v > best) {
+        best = v;
+        k = std::min(std::max(k0 + off, 0), span);
+      }
+    }
+    const double peak = debiased(k);
+    const double km1 = debiased(std::max(k - 1, 0));
+    const double kp1 = debiased(std::min(k + 1, span));
+    const double denom = km1 - 2.0 * peak + kp1;
+    double delta =
+        std::fabs(denom) > 1e-9 ? 0.5 * (km1 - kp1) / denom : 0.0;
+    delta = std::min(std::max(delta, -0.5), 0.5);
+    const double lag = lag_min + k + delta;
+    const double f0 = sample_rate / std::max(lag, 1.0);
+
+    const bool voiced = peak > threshold && energy > 1e-6 && f0 >= f0_min &&
+                        f0 <= f0_max;
+    out_vuv[f] = voiced ? 1.0f : 0.0f;
+    out_f0[f] = voiced ? static_cast<float>(f0) : 0.0f;
+  }
+}
+
+// Band aperiodicity, the exact algorithm of ops/f0.py band_aperiodicity:
+// per band, 1 - window-de-biased normalized band-limited autocorrelation at
+// the (rounded) F0 lag; 1.0 where unvoiced.
+// out: (n_frames, n_bands) float32 row-major.
+void swt_band_aperiodicity(const float* x, int64_t t, const float* f0,
+                           double sample_rate, int hop, int win, int n_bands,
+                           float* out, int64_t n_frames) {
+  const size_t n_fft = next_pow2(static_cast<size_t>(2 * win));
+  const size_t n_bins = n_fft / 2 + 1;
+  const std::vector<double> w = hann(win);
+  const std::vector<double> wac = window_autocorr(w, n_fft);
+
+  // band edges: np.linspace(0, n_bins, n_bands + 1).astype(int)
+  std::vector<size_t> edges(n_bands + 1);
+  for (int b = 0; b <= n_bands; ++b)
+    edges[b] = static_cast<size_t>(static_cast<double>(n_bins) * b / n_bands);
+
+  std::vector<double> frame, re, im, bre, bim;
+  for (int64_t f = 0; f < n_frames; ++f) {
+    window_frame(x, t, win, hop, f, w, /*remove_mean=*/true, frame);
+    re.assign(n_fft, 0.0);
+    im.assign(n_fft, 0.0);
+    for (size_t i = 0; i < frame.size(); ++i) re[i] = frame[i];
+    fft(re, im, /*inverse=*/false);
+    // full power spectrum; band masks act on rFFT bins [0, n_bins) and
+    // their conjugate mirror (jnp irfft of a masked rfft power spectrum)
+    std::vector<double> power(n_fft);
+    for (size_t i = 0; i < n_fft; ++i) power[i] = re[i] * re[i] + im[i] * im[i];
+
+    const double f0v = f0[f];
+    const double lag = f0v > 0.0 ? sample_rate / std::max(f0v, 1.0) : 0.0;
+    int64_t li = static_cast<int64_t>(std::llround(lag));
+    li = std::min(std::max<int64_t>(li, 0),
+                  static_cast<int64_t>(n_fft) - 1);
+
+    for (int b = 0; b < n_bands; ++b) {
+      if (f0v <= 0.0) {
+        out[f * n_bands + b] = 1.0f;
+        continue;
+      }
+      // masked power -> autocorrelation. Mirror the rfft-bin mask onto the
+      // full spectrum: bin i and n_fft - i carry the same rfft bin.
+      bre.assign(n_fft, 0.0);
+      bim.assign(n_fft, 0.0);
+      for (size_t i = edges[b]; i < edges[b + 1]; ++i) {
+        bre[i] = power[i];
+        if (i != 0 && i != n_fft / 2) bre[n_fft - i] = power[n_fft - i];
+      }
+      fft(bre, bim, /*inverse=*/true);
+      const double ac0 = std::max(bre[0], 1e-12);
+      const double ap =
+          1.0 - std::min(std::max(bre[li] / (ac0 * wac[li]), 0.0), 1.0);
+      out[f * n_bands + b] = static_cast<float>(ap);
+    }
+  }
+}
+
+// Mel-cepstral analysis, the exact algorithm of ops/mcep.py mcep_analysis:
+// centered Hann frame -> zero-pad to n_fft -> log|rFFT| (floor eps) ->
+// cepstrum -> minimum-phase doubling -> freqt recursion to order M at
+// warping alpha (the SPTK freqt C loop itself, not the dense-matrix form
+// the TPU path uses).
+// out: (n_frames, order + 1) float32 row-major.
+void swt_mcep(const float* x, int64_t t, int n_fft, int hop, int win,
+              int order, double alpha, double eps, float* out,
+              int64_t n_frames) {
+  const std::vector<double> w = hann(win);
+  const size_t m1 = static_cast<size_t>(n_fft) / 2;
+  const int pad_l = (n_fft - win) / 2;  // centered zero-pad to n_fft
+
+  std::vector<double> frame, re, im, cep(m1 + 1);
+  std::vector<double> g(order + 1), gn(order + 1);
+  const double b = 1.0 - alpha * alpha;
+
+  for (int64_t f = 0; f < n_frames; ++f) {
+    window_frame(x, t, win, hop, f, w, /*remove_mean=*/false, frame);
+    re.assign(n_fft, 0.0);
+    im.assign(n_fft, 0.0);
+    for (int i = 0; i < win; ++i) re[pad_l + i] = frame[i];
+    fft(re, im, /*inverse=*/false);
+    // log-magnitude on rfft bins, mirrored back to the full (hermitian)
+    // spectrum, then inverse FFT -> real cepstrum
+    for (size_t i = 0; i <= m1; ++i) {
+      const double mag = std::sqrt(re[i] * re[i] + im[i] * im[i]);
+      re[i] = std::log(std::max(mag, eps));
+      im[i] = 0.0;
+    }
+    for (size_t i = m1 + 1; i < static_cast<size_t>(n_fft); ++i) {
+      re[i] = re[n_fft - i];
+      im[i] = 0.0;
+    }
+    fft(re, im, /*inverse=*/true);
+    // minimum-phase doubling: h0 = c0, hk = 2 ck, Nyquist h[m1] = c[m1]
+    cep[0] = re[0];
+    for (size_t i = 1; i < m1; ++i) cep[i] = 2.0 * re[i];
+    cep[m1] = re[m1];
+
+    // freqt (Oppenheim-Johnson recursion, highest input coefficient first)
+    std::fill(g.begin(), g.end(), 0.0);
+    for (int64_t i = static_cast<int64_t>(m1); i >= 0; --i) {
+      gn[0] = cep[i] + alpha * g[0];
+      if (order >= 1) gn[1] = b * g[0] + alpha * g[1];
+      for (int j = 2; j <= order; ++j)
+        gn[j] = g[j - 1] + alpha * (g[j] - gn[j - 1]);
+      std::swap(g, gn);
+    }
+    for (int j = 0; j <= order; ++j)
+      out[f * (order + 1) + j] = static_cast<float>(g[j]);
+  }
+}
+
+}  // extern "C"

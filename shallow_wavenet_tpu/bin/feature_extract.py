@@ -37,8 +37,11 @@ def extract_one(wav_path: str, cfg, numpy_only: bool = False) -> np.ndarray:
     n_frames = len(wav) // cfg.data.hop_length
     if cfg.data.feature_type == "world":
         if numpy_only:
-            raise ValueError("world features need the jax path "
-                             "(--num-workers 1)")
+            # pooled workers: native C++ twin (utils/native.py — the
+            # reference's WORLD/SPTK-in-a-worker-pool shape, SURVEY.md §3.2)
+            from shallow_wavenet_tpu.utils.native import world_features_native
+
+            return world_features_native(wav, cfg)
         import jax.numpy as jnp
 
         # WORLD-equivalent path (C12): log-F0 + vuv + mcep + band ap

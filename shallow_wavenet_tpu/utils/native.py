@@ -48,6 +48,23 @@ def load_native(build: bool = True) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double),
     ]
     lib.swt_mc2b.restype = None
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.swt_f0_estimate.argtypes = [
+        fp, ctypes.c_int64, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, fp, fp,
+        ctypes.c_int64,
+    ]
+    lib.swt_f0_estimate.restype = None
+    lib.swt_band_aperiodicity.argtypes = [
+        fp, ctypes.c_int64, fp, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, fp, ctypes.c_int64,
+    ]
+    lib.swt_band_aperiodicity.restype = None
+    lib.swt_mcep.argtypes = [
+        fp, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, fp, ctypes.c_int64,
+    ]
+    lib.swt_mcep.restype = None
     _lib = lib
     return lib
 
@@ -87,3 +104,86 @@ def mc2b_native(c: np.ndarray, alpha: float) -> np.ndarray:
         float(alpha), b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return b
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _n_frames_centered(t: int, win: int, hop: int) -> int:
+    """Frame count of ops/stft.frame_signal(center=True): reflect-pad win//2
+    each side, then 1 + (padded - win) // hop."""
+    return 1 + (t + 2 * (win // 2) - win) // hop
+
+
+def _f0_win(sample_rate: int, f0_min: float) -> int:
+    w = int(2.5 * sample_rate / f0_min)
+    return w + w % 2
+
+
+def f0_native(x: np.ndarray, sample_rate: int, hop_length: int,
+              win_length: int = 0, f0_min: float = 70.0,
+              f0_max: float = 400.0, threshold: float = 0.45
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Native twin of ops/f0.estimate_f0 (same defaults/algorithm)."""
+    lib = load_native()
+    if win_length == 0:
+        win_length = _f0_win(sample_rate, f0_min)
+    x = np.ascontiguousarray(x, np.float32)
+    n = _n_frames_centered(x.size, win_length, hop_length)
+    f0 = np.empty(n, np.float32)
+    vuv = np.empty(n, np.float32)
+    lib.swt_f0_estimate(_fp(x), x.size, float(sample_rate), hop_length,
+                        win_length, f0_min, f0_max, threshold, _fp(f0),
+                        _fp(vuv), n)
+    return f0, vuv
+
+
+def band_aperiodicity_native(x: np.ndarray, f0: np.ndarray,
+                             sample_rate: int, hop_length: int,
+                             win_length: int = 0, n_bands: int = 4
+                             ) -> np.ndarray:
+    """Native twin of ops/f0.band_aperiodicity."""
+    lib = load_native()
+    if win_length == 0:
+        win_length = _f0_win(sample_rate, 70.0)
+    x = np.ascontiguousarray(x, np.float32)
+    n = min(_n_frames_centered(x.size, win_length, hop_length), f0.shape[0])
+    f0 = np.ascontiguousarray(f0[:n], np.float32)
+    out = np.empty((n, n_bands), np.float32)
+    lib.swt_band_aperiodicity(_fp(x), x.size, _fp(f0), float(sample_rate),
+                              hop_length, win_length, n_bands, _fp(out), n)
+    return out
+
+
+def mcep_native(x: np.ndarray, n_fft: int, hop_length: int, win_length: int,
+                order: int, alpha: float, eps: float = 1e-8) -> np.ndarray:
+    """Native twin of ops/mcep.mcep_analysis (freqt as the SPTK C loop)."""
+    lib = load_native()
+    x = np.ascontiguousarray(x, np.float32)
+    n = _n_frames_centered(x.size, win_length, hop_length)
+    out = np.empty((n, order + 1), np.float32)
+    lib.swt_mcep(_fp(x), x.size, n_fft, hop_length, win_length, order,
+                 float(alpha), eps, _fp(out), n)
+    return out
+
+
+def world_features_native(wav: np.ndarray, cfg) -> np.ndarray:
+    """Full `world` conditioning set ([lf0, vuv, mcep, bap]) via the native
+    library — the pooled-worker twin of bin/feature_extract.extract_one's
+    JAX world path (no jax import; parity-tested)."""
+    sr = cfg.data.sample_rate
+    f0, vuv = f0_native(wav, sr, cfg.data.hop_length,
+                        f0_min=cfg.data.f0_min, f0_max=cfg.data.f0_max)
+    lf0 = np.where(vuv > 0, np.log(np.maximum(f0, 1.0)), 0.0)
+    mc = mcep_native(wav, cfg.data.n_fft, cfg.data.hop_length,
+                     cfg.data.win_length, cfg.noise_shaping.mcep_order,
+                     cfg.noise_shaping.alpha)
+    bap = band_aperiodicity_native(wav, f0, sr, cfg.data.hop_length,
+                                   n_bands=cfg.data.n_bap)
+    n = min(lf0.shape[0], mc.shape[0], bap.shape[0],
+            len(wav) // cfg.data.hop_length)
+    return np.concatenate(
+        [lf0[:n, None].astype(np.float32), vuv[:n, None], mc[:n], bap[:n]],
+        axis=-1,
+    )
