@@ -95,3 +95,19 @@ def test_config_file_roundtrip(tmp_path):
         "--n-train", "2", "--n-eval", "1",
     ])
     assert (tmp_path / "stats.h5").exists()
+
+
+def test_egs_run_sh_shell_surface(tmp_path):
+    """The egs/<corpus>/<recipe>/run.sh shell surface (component C1's
+    literal form) drives stages 0-2 from its conf/config.json."""
+    import subprocess
+
+    repo = Path(__file__).resolve().parent.parent
+    script = repo / "egs/synthetic/shallow_softmax_single/run.sh"
+    r = subprocess.run(
+        [str(script), "--workdir", str(tmp_path), "--stage", "0",
+         "--stop_stage", "2", "--n_train", "2", "--n_eval", "1", *TINY],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "stats.h5").exists()
