@@ -21,25 +21,26 @@ stop_stage=6
 workdir="$recipe_dir/exp"
 n_train=8
 n_eval=2
-extra=""
 
-while [ $# -gt 0 ]; do
+# consume the flags we own; re-append everything else (key=value overrides)
+# onto the positional list so quoting/globs survive intact
+n_left=$#
+while [ "$n_left" -gt 0 ]; do
   case "$1" in
-    --stage)      stage=$2; shift 2 ;;
-    --stop_stage|--stop-stage) stop_stage=$2; shift 2 ;;
-    --workdir)    workdir=$2; shift 2 ;;
-    --n_train|--n-train) n_train=$2; shift 2 ;;
-    --n_eval|--n-eval)   n_eval=$2; shift 2 ;;
+    --stage)      stage=$2; shift 2; n_left=$((n_left - 2)) ;;
+    --stop_stage|--stop-stage) stop_stage=$2; shift 2; n_left=$((n_left - 2)) ;;
+    --workdir)    workdir=$2; shift 2; n_left=$((n_left - 2)) ;;
+    --n_train|--n-train) n_train=$2; shift 2; n_left=$((n_left - 2)) ;;
+    --n_eval|--n-eval)   n_eval=$2; shift 2; n_left=$((n_left - 2)) ;;
     -h|--help)
       sed -n '2,12p' "$common_dir/run_common.sh"; exit 0 ;;
-    *)  extra="$extra $1"; shift ;;
+    *)  set -- "$@" "$1"; shift; n_left=$((n_left - 1)) ;;
   esac
 done
 
-# shellcheck disable=SC2086
 exec python -m shallow_wavenet_tpu.bin.run \
   --config "$recipe_dir/conf/config.json" \
   --workdir "$workdir" \
   --stage "$stage" --stop-stage "$stop_stage" \
   --n-train "$n_train" --n-eval "$n_eval" \
-  $extra
+  "$@"

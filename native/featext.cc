@@ -274,9 +274,15 @@ void swt_band_aperiodicity(const float* x, int64_t t, const float* f0,
 void swt_mcep(const float* x, int64_t t, int n_fft, int hop, int win,
               int order, double alpha, double eps, float* out,
               int64_t n_frames) {
+  // the radix-2 FFT requires a power-of-two size; the Python wrapper
+  // validates, this is the memory-safety backstop
+  if (n_fft <= 0 || (n_fft & (n_fft - 1)) != 0) return;
   const std::vector<double> w = hann(win);
   const size_t m1 = static_cast<size_t>(n_fft) / 2;
-  const int pad_l = (n_fft - win) / 2;  // centered zero-pad to n_fft
+  // centered zero-pad to n_fft; when win >= n_fft, match the JAX twin's
+  // jnp.fft.rfft(frames, n=n_fft): no pad, truncate to the first n_fft
+  const int pad_l = win < n_fft ? (n_fft - win) / 2 : 0;
+  const int n_copy = std::min(win, n_fft);
 
   std::vector<double> frame, re, im, cep(m1 + 1);
   std::vector<double> g(order + 1), gn(order + 1);
@@ -286,7 +292,7 @@ void swt_mcep(const float* x, int64_t t, int n_fft, int hop, int win,
     window_frame(x, t, win, hop, f, w, /*remove_mean=*/false, frame);
     re.assign(n_fft, 0.0);
     im.assign(n_fft, 0.0);
-    for (int i = 0; i < win; ++i) re[pad_l + i] = frame[i];
+    for (int i = 0; i < n_copy; ++i) re[pad_l + i] = frame[i];
     fft(re, im, /*inverse=*/false);
     // log-magnitude on rfft bins, mirrored back to the full (hermitian)
     // spectrum, then inverse FFT -> real cepstrum

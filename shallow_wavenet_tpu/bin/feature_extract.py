@@ -131,6 +131,12 @@ def main(argv=None):
         import functools
         import multiprocessing as mp
 
+        if cfg.data.feature_type == "world":
+            # build the native library ONCE in the parent; spawned workers
+            # then dlopen the finished .so instead of racing `make`
+            from shallow_wavenet_tpu.utils.native import load_native
+
+            load_native()
         ctx = mp.get_context("spawn")  # fork breaks jax runtimes
         with _cpu_worker_env(), ctx.Pool(args.num_workers) as pool:
             for wp, shape in pool.map(

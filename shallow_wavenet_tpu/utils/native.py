@@ -23,8 +23,15 @@ _lib = None
 
 
 def _build() -> None:
-    subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                   capture_output=True, text=True)
+    # serialize concurrent builders (e.g. spawned pool workers racing on a
+    # clean checkout): one process links the .so, the rest wait on the lock
+    # and then get make's no-op freshness check
+    import fcntl
+
+    with open(_NATIVE_DIR / ".build.lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True, text=True)
 
 
 def load_native(build: bool = True) -> ctypes.CDLL:
@@ -33,8 +40,10 @@ def load_native(build: bool = True) -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() and build:
-        log.info("building native library in %s", _NATIVE_DIR)
+    if build:
+        # run make even when the .so exists: its source deps make a fresh
+        # build a no-op, and a stale library (built before a source added
+        # new symbols) would otherwise fail the symbol lookups below
         _build()
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.swt_mlsa_filter.argtypes = [
@@ -73,7 +82,7 @@ def native_available() -> bool:
     try:
         load_native()
         return True
-    except (OSError, subprocess.CalledProcessError) as e:
+    except (OSError, subprocess.CalledProcessError, AttributeError) as e:
         log.warning("native library unavailable: %s", e)
         return False
 
@@ -159,6 +168,10 @@ def band_aperiodicity_native(x: np.ndarray, f0: np.ndarray,
 def mcep_native(x: np.ndarray, n_fft: int, hop_length: int, win_length: int,
                 order: int, alpha: float, eps: float = 1e-8) -> np.ndarray:
     """Native twin of ops/mcep.mcep_analysis (freqt as the SPTK C loop)."""
+    if n_fft <= 0 or n_fft & (n_fft - 1):
+        raise ValueError(
+            f"native mcep needs a power-of-two n_fft (got {n_fft}); use the "
+            f"JAX path (feature_extract --num-workers 1) for other sizes")
     lib = load_native()
     x = np.ascontiguousarray(x, np.float32)
     n = _n_frames_centered(x.size, win_length, hop_length)

@@ -111,3 +111,15 @@ def test_egs_run_sh_shell_surface(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "stats.h5").exists()
+
+
+def test_egs_confs_match_presets():
+    """The egs conf/config.json files must not drift from config.PRESETS
+    (run.sh users and --preset users must train the same model)."""
+    from shallow_wavenet_tpu.config import PRESETS, Config
+
+    repo = Path(__file__).resolve().parent.parent
+    for name, mk in PRESETS.items():
+        conf = repo / "egs/synthetic" / name / "conf/config.json"
+        assert conf.exists(), f"missing egs conf for preset {name}"
+        assert Config.from_json(conf.read_text()).to_dict() == mk().to_dict()
