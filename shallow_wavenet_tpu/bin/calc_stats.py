@@ -34,9 +34,12 @@ def main(argv=None):
     cfg = resolve_config(args)
 
     paths = read_file_list(args.wav_scp)
+    # float64 accumulation: float32 sums over a large corpus lose the
+    # E[x^2]-E[x]^2 cancellation badly when std << |mean| (log-mel dims)
     n, s1, s2 = 0, 0.0, 0.0
     for wp in paths:
-        f = read_hdf5(feats_path_for(wp, args.feats_dir), "feats")
+        f = read_hdf5(feats_path_for(wp, args.feats_dir), "feats"
+                      ).astype(np.float64)
         n += f.shape[0]
         s1 = s1 + f.sum(axis=0)
         s2 = s2 + (f ** 2).sum(axis=0)

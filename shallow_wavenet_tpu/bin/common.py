@@ -68,25 +68,31 @@ def load_utterances(wav_scp: str | Path, feats_dir: str | Path,
                     stats_path: str | Path | None = None,
                     waveform_dir: str | Path | None = None,
                     highpass_cutoff: float = 0.0,
-                    sample_rate: int = 0) -> list[Utterance]:
+                    sample_rate: int = 0,
+                    load_wav: bool = True) -> list[Utterance]:
     """Load (wav, normalized feats) pairs for training/decoding.
 
     waveform_dir: if given, read the (noise-shaped) training waveform from
     <dir>/<stem>.wav instead of the original wav path (component C4 output).
     highpass_cutoff > 0 applies the corpus high-pass (C2 periphery) so the
     model trains/evaluates on the same filtered signal the features saw.
+    load_wav=False skips reading/filtering the waveforms entirely (decoding
+    consumes only the features; wav is set to an empty array).
     """
     stats = load_stats(stats_path) if stats_path else None
     utts = []
     for p in read_file_list(wav_scp):
-        wav_p = (Path(waveform_dir) / Path(p).name) if waveform_dir else p
-        wav, sr = read_wav(wav_p)
-        # noise-shaped waveforms (waveform_dir) were already high-passed in
-        # stage 3 — filtering twice would double the cutoff attenuation
-        if highpass_cutoff > 0 and waveform_dir is None:
-            from shallow_wavenet_tpu.ops.filters import highpass
+        if load_wav:
+            wav_p = (Path(waveform_dir) / Path(p).name) if waveform_dir else p
+            wav, sr = read_wav(wav_p)
+            # noise-shaped waveforms (waveform_dir) were already high-passed
+            # in stage 3 — filtering twice would double the attenuation
+            if highpass_cutoff > 0 and waveform_dir is None:
+                from shallow_wavenet_tpu.ops.filters import highpass
 
-            wav = highpass(wav, sample_rate or sr, highpass_cutoff)
+                wav = highpass(wav, sample_rate or sr, highpass_cutoff)
+        else:
+            wav = np.zeros(0, np.float32)
         feats = read_hdf5(feats_path_for(p, feats_dir), "feats").astype(np.float32)
         if stats is not None:
             feats = (feats - stats[0]) / np.maximum(stats[1], 1e-8)

@@ -142,12 +142,23 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
                         pp, cfg.model, c_up, noise=noise, chunk=chunk,
                         dtype=dt, stream=strm))
                 break
-            except Exception:  # compile limit at this (B, T) — next tier
+            except Exception as e:  # compile limit at this (B, T) — next
+                # tier. Include the error: a REAL bug (not a Mosaic VMEM/
+                # compile frontier) must not vanish into silent fallback
                 logging.getLogger("decode").warning(
-                    "pallas %s%s kernel failed to compile at B=%d T=%d; "
+                    "pallas %s%s kernel failed at B=%d T=%d (%s: %s); "
                     "falling back", dt, " streamed" if strm else "", B,
-                    c_up.shape[1])
+                    c_up.shape[1], type(e).__name__, str(e)[:500])
     if wav is None:
+        if segment_samples > 0:
+            # the lax.scan path has no segmented mode: it would materialize
+            # the FULL upsampled conditioning on device — the exact
+            # allocation --segment-samples exists to avoid. Fail loudly
+            # instead of silently violating the HBM-flat contract.
+            raise RuntimeError(
+                "--segment-samples requires the Pallas backend, but every "
+                "kernel tier failed (see warnings above); re-run without "
+                "--segment-samples or with a smaller --batch-size")
         wav = np.asarray(generate_fast(pp, cfg.model, c_up, key, noise=noise))
     return [wav[i, : n_samples[i]] for i in range(len(utts))]
 
@@ -178,7 +189,8 @@ def main(argv=None):
 
     utts = load_utterances(args.eval_scp, args.feats_dir, args.stats,
                            highpass_cutoff=cfg.data.highpass_cutoff,
-                           sample_rate=cfg.data.sample_rate)
+                           sample_rate=cfg.data.sample_rate,
+                           load_wav=False)  # decode consumes features only
     paths = read_file_list(args.eval_scp)
     trainer, state, step = load_model_state(cfg, args.workdir)
     outdir = Path(args.outdir)

@@ -83,6 +83,19 @@ def main(argv=None):
 
     if stage_on(1):
         log.info("== stage 1: feature extraction ==")
+        # both splits share one feats dir keyed by wav stem — a duplicate
+        # stem would silently cross-wire one split's waveforms with the
+        # other's features
+        from shallow_wavenet_tpu.data.dataset import read_file_list
+
+        stems: dict[str, str] = {}
+        for scp in (train_scp, eval_scp):
+            for wp in read_file_list(scp):
+                stem = Path(wp).stem
+                if stems.setdefault(stem, wp) != wp:
+                    raise ValueError(
+                        f"duplicate wav stem {stem!r}: {stems[stem]} and "
+                        f"{wp} would write the same {stem}.h5 in {feats}")
         for scp in (train_scp, eval_scp):
             feature_extract.main(
                 ["--wav-scp", str(scp), "--outdir", str(feats), *cfg_args, *ov]
@@ -100,10 +113,14 @@ def main(argv=None):
             log.info("== stage 3: noise shaping (pre-emphasis) ==")
             from shallow_wavenet_tpu.bin import noise_shaping
 
-            noise_shaping.main(
-                ["--wav-scp", str(train_scp), "--stats", str(stats),
-                 "--outdir", str(shaped), *cfg_args, *ov]
-            )
+            # shape BOTH splits: training consumes shaped train waveforms,
+            # and the dev eval loss must measure the same (pre-emphasized)
+            # signal distribution the model is trained on
+            for scp in (train_scp, eval_scp):
+                noise_shaping.main(
+                    ["--wav-scp", str(scp), "--stats", str(stats),
+                     "--outdir", str(shaped), *cfg_args, *ov]
+                )
         else:
             log.info("== stage 3: noise shaping disabled — skipped ==")
 

@@ -72,7 +72,23 @@ def main(argv=None):
 
     eval_batches = None
     if args.dev_scp:
+        # eval on the SAME signal distribution as training: with noise
+        # shaping the dev waveforms must be the stage-3 pre-emphasized ones,
+        # else eval loss measures a spectrally different target
+        dev_wavdir = args.waveform_dir
+        if dev_wavdir:
+            from shallow_wavenet_tpu.data.dataset import read_file_list
+
+            missing = [p for p in read_file_list(args.dev_scp)
+                       if not (Path(dev_wavdir) / Path(p).name).exists()]
+            if missing:
+                log.warning(
+                    "%d dev waveform(s) missing from %s (re-run stage 3); "
+                    "eval loss falls back to unshaped dev waveforms",
+                    len(missing), dev_wavdir)
+                dev_wavdir = None
         dev_utts = load_utterances(args.dev_scp, args.feats_dir, args.stats,
+                                   dev_wavdir,
                                    highpass_cutoff=cfg.data.highpass_cutoff,
                                    sample_rate=cfg.data.sample_rate)
         dev_sampler = SegmentSampler(

@@ -20,9 +20,13 @@ class GroupSampler:
     checkpoint-resume replays group-aligned — the trainer checkpoints only
     at group boundaries."""
 
-    def __init__(self, sampler, k: int):
+    def __init__(self, sampler, k: int, total: int | None = None):
         self._sampler = sampler
         self._k = int(k)
+        # draw no batch past `total`: the final group is tail-sized
+        # (total % k) instead of a full group sliced by the consumer, so
+        # state() stays exact for the checkpoint saved after the tail
+        self._remaining = None if total is None else int(total)
 
     def __iter__(self):
         return self
@@ -30,7 +34,13 @@ class GroupSampler:
     def __next__(self):
         import numpy as np
 
-        batches = [next(self._sampler) for _ in range(self._k)]
+        k = self._k
+        if self._remaining is not None:
+            k = min(k, self._remaining)
+            if k <= 0:
+                raise StopIteration
+            self._remaining -= k
+        batches = [next(self._sampler) for _ in range(k)]
         return {key: np.stack([b[key] for b in batches])
                 for key in batches[0]}
 

@@ -48,10 +48,14 @@ def make_corpus(root: str | Path, *, n_train: int = 8, n_eval: int = 2,
     idx = 0
     for split, count in (("train", n_train), ("eval", n_eval)):
         paths = []
-        for i in range(count):
+        for _ in range(count):
             spk = idx % n_speakers
             wav = synth_utterance(seed + idx, sample_rate, duration_s)
-            p = root / "wav" / split / f"spk{spk}_utt{i:03d}.wav"
+            # stem is unique ACROSS splits: feature files are keyed by stem
+            # in one shared feats dir (bin/common.feats_path_for), so a
+            # train/eval stem collision would silently cross-wire waveforms
+            # with the other split's features
+            p = root / "wav" / split / f"spk{spk}_utt{idx:03d}.wav"
             write_wav(p, wav, sample_rate)
             paths.append(str(p))
             idx += 1

@@ -58,4 +58,6 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def process_shard(items: list) -> list:
     """Static shard of a host-side list for this process (multi-host data
     loading: each host reads only its own utterances)."""
-    return items[jax.process_index() :: jax.process_count()]
+    from shallow_wavenet_tpu.data.dataset import shard_list
+
+    return shard_list(items, jax.process_index(), jax.process_count())

@@ -288,28 +288,38 @@ class Trainer:
         cfg = self.cfg
         steps = cfg.train.steps if steps is None else steps
         workdir = Path(workdir)
+        # multi-host: every process computes (SPMD) but only process 0
+        # writes run artifacts — concurrent appends to one metrics.jsonl on
+        # shared storage would interleave/corrupt records
+        is_main = jax.process_index() == 0
         workdir.mkdir(parents=True, exist_ok=True)
-        (workdir / "config.json").write_text(cfg.to_json())
+        if is_main:
+            (workdir / "config.json").write_text(cfg.to_json())
         metrics_path = workdir / "metrics.jsonl"
         mngr = self._ckpt_manager(workdir)
 
         from shallow_wavenet_tpu.data.prefetch import Prefetcher
         from shallow_wavenet_tpu.utils.observability import MetricsWriter
 
-        tb = MetricsWriter(workdir / "tb")
+        tb = MetricsWriter(workdir / "tb") if is_main else None
         K = max(1, int(cfg.train.steps_per_call))
         # overlap host batch assembly AND the H2D transfer with the device
-        # step: the worker thread stacks (multi-step mode) and device_puts
+        # step: the worker thread stacks (multi-step mode) and device_puts.
+        # GroupSampler is bounded by the remaining step budget so the tail
+        # group (steps % K) is drawn at exact size — the sampler state saved
+        # with the final checkpoint matches the batches actually consumed
         from shallow_wavenet_tpu.data.prefetch import GroupSampler
 
-        prefetch = Prefetcher(
-            sampler if K == 1 else GroupSampler(sampler, K),
-            put_fn=self.shard_batch if K == 1 else self.shard_stacked)
         start = int(state.step)
+        prefetch = Prefetcher(
+            sampler if K == 1 else GroupSampler(sampler, K,
+                                                total=max(steps - start, 0)),
+            put_fn=self.shard_batch if K == 1 else self.shard_stacked)
         t0 = time.time()
         samples_per_batch = None
         step = start
-        with metrics_path.open("a") as mf:
+        mf = metrics_path.open("a") if is_main else None
+        try:
             while step < steps:
                 k = min(K, steps - step)
                 if K == 1:
@@ -319,19 +329,20 @@ class Trainer:
                     state, m = self.step_fn(state, batch)
                     last = m
                 else:
-                    group = next(prefetch)      # device (K, B, ...) leaves
+                    group = next(prefetch)      # device (k, B, ...) leaves
+                    state, ms = self.multi_step_fn(state, group)
                     if samples_per_batch is None:
                         samples_per_batch = int(
-                            np.prod(group["x"].shape)) // K
-                    if k < K:                   # run tail (steps % K != 0)
-                        group = {kk: v[:k] for kk, v in group.items()}
-                    state, ms = self.multi_step_fn(state, group)
+                            np.prod(group["x"].shape)) // k
                     last = {kk: v[-1] for kk, v in ms.items()}
                 prev, step = step, step + k
                 # cadence: act whenever the call crossed a boundary (steps
-                # advance by k at a time); no per-step device sync
+                # advance by k at a time); no per-step device sync. Eval
+                # rides the CHECKPOINT cadence, independent of log cadence
                 le, ce = cfg.train.log_every, cfg.train.checkpoint_every
-                if step // le > prev // le or step == steps:
+                log_due = step // le > prev // le or step == steps
+                ckpt_due = step // ce > prev // ce or step == steps
+                if log_due or (ckpt_due and eval_batches is not None):
                     dt = time.time() - t0
                     done = step - start
                     rec = {
@@ -341,20 +352,28 @@ class Trainer:
                         "steps_per_s": done / max(dt, 1e-9),
                         "samples_per_s": done * samples_per_batch / max(dt, 1e-9),
                     }
-                    if eval_batches is not None and (
-                        step // ce > prev // ce or step == steps
-                    ):
+                    if ckpt_due and eval_batches is not None:
+                        # all processes participate (sharded compute)...
                         rec["eval_loss"] = self.eval_loss(state, eval_batches)
-                    mf.write(json.dumps(rec) + "\n")
-                    mf.flush()
-                    tb.scalars(step, rec)
-                    log.info("step %(step)d loss %(loss).4f gnorm "
-                             "%(grad_norm).2f %(steps_per_s).2f it/s", rec)
-                if step // ce > prev // ce or step == steps:
+                    if is_main:
+                        # ...only process 0 records
+                        mf.write(json.dumps(rec) + "\n")
+                        mf.flush()
+                        tb.scalars(step, rec)
+                        log.info("step %(step)d loss %(loss).4f gnorm "
+                                 "%(grad_norm).2f %(steps_per_s).2f it/s",
+                                 rec)
+                if ckpt_due:
                     self.save(mngr, state, prefetch.state())
-        prefetch.close()
-        tb.close()
-        mngr.wait_until_finished()
+        finally:
+            # on ANY exit (exception, NaN abort, Ctrl-C): stop the prefetch
+            # worker, flush TB, and let an in-flight async save commit
+            prefetch.close()
+            if tb is not None:
+                tb.close()
+            if mf is not None:
+                mf.close()
+            mngr.wait_until_finished()
         return state
 
 

@@ -60,3 +60,38 @@ def test_prefetch_propagates_errors():
         next(pf)
         next(pf)
     pf.close()
+
+
+def test_group_sampler_tail_exact_state():
+    """With a step budget that is not a multiple of K, the final group is
+    tail-sized and the sampler state reflects EXACTLY the batches consumed
+    (checkpoint-exact resume after the tail checkpoint)."""
+    from shallow_wavenet_tpu.data.prefetch import GroupSampler
+
+    utts = _toy_utts()
+    K, total = 8, 20
+    gs = GroupSampler(
+        SegmentSampler(utts, batch_size=2, segment_length=40, hop_length=8,
+                       receptive_field=16, seed=0),
+        K, total=total)
+    sizes = []
+    groups = []
+    for g in gs:
+        sizes.append(g["x"].shape[0])
+        groups.append(g)
+    assert sizes == [8, 8, 4]
+    state = gs.state()
+
+    # a fresh sampler fast-forwarded by exactly `total` draws agrees
+    ref = SegmentSampler(utts, batch_size=2, segment_length=40, hop_length=8,
+                         receptive_field=16, seed=0)
+    for _ in range(total):
+        next(ref)
+    assert state == ref.state()
+
+    # and the consumed batches are the same 20 the plain sampler yields
+    ref2 = SegmentSampler(utts, batch_size=2, segment_length=40, hop_length=8,
+                          receptive_field=16, seed=0)
+    flat = [g["x"][i] for g in groups for i in range(g["x"].shape[0])]
+    for got in flat:
+        np.testing.assert_array_equal(got, next(ref2)["x"])

@@ -50,8 +50,9 @@ def test_recipe_softmax_end_to_end(tmp_path):
 def test_recipe_noise_shaping_end_to_end(tmp_path):
     run_stages(tmp_path, "shallow_laplace_ns",
                extra=["noise_shaping.mcep_order=12"])
-    # shaped training wavs + restored eval wavs exist
-    assert len(list((tmp_path / "shaped_wav").glob("*.wav"))) == 2
+    # shaped train (2) AND dev (1) wavs — dev eval loss measures the same
+    # pre-emphasized distribution training sees — + restored eval wavs
+    assert len(list((tmp_path / "shaped_wav").glob("*.wav"))) == 3
     assert len(list((tmp_path / "restored_wav").glob("*.wav"))) == 1
     mcd = json.loads((tmp_path / "mcd.json").read_text())
     assert np.isfinite(mcd["mcd_db_mean"])
@@ -123,3 +124,26 @@ def test_egs_confs_match_presets():
         conf = repo / "egs/synthetic" / name / "conf/config.json"
         assert conf.exists(), f"missing egs conf for preset {name}"
         assert Config.from_json(conf.read_text()).to_dict() == mk().to_dict()
+
+
+def test_stage1_rejects_duplicate_stems(tmp_path):
+    """A train/eval wav-stem collision would silently cross-wire one
+    split's waveforms with the other's features (shared feats dir keyed by
+    stem) — stage 1 must refuse to run."""
+    import numpy as np
+
+    from shallow_wavenet_tpu.data.audio_io import write_wav
+
+    corpus = tmp_path / "corpus"
+    for sub in ("wav/train", "wav/eval"):
+        (corpus / sub).mkdir(parents=True)
+    w = (0.1 * np.sin(np.linspace(0, 400, 8000))).astype(np.float32)
+    tr = corpus / "wav/train/spk0_utt000.wav"
+    ev = corpus / "wav/eval/spk0_utt000.wav"  # same stem, different split
+    write_wav(str(tr), w, 8000)
+    write_wav(str(ev), w, 8000)
+    (corpus / "train.scp").write_text(f"{tr}\n")
+    (corpus / "eval.scp").write_text(f"{ev}\n")
+
+    with pytest.raises(ValueError, match="duplicate wav stem"):
+        run_stages(tmp_path, "shallow_softmax_single", stages=(1, 1))
