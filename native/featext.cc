@@ -85,6 +85,7 @@ void autocorr_via_fft(const std::vector<double>& x, size_t n_fft,
 // numpy/jnp reflect padding index: sample at global position i of a signal
 // padded `pad` samples on each side (edge sample not repeated).
 inline int64_t reflect_index(int64_t i, int64_t t) {
+  if (t <= 1) return 0;  // degenerate signal: reflection has no period
   while (i < 0 || i >= t) {
     if (i < 0) i = -i;
     if (i >= t) i = 2 * t - 2 - i;

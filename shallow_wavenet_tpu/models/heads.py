@@ -58,13 +58,6 @@ def laplace_from_uniform(out, u, log_b_min=-9.0, log_b_max=3.0):
     return mu - jnp.exp(log_b) * jnp.sign(u) * jnp.log1p(-2.0 * jnp.abs(u))
 
 
-def gumbel_argmax_from_uniform(logits, u):
-    """Gumbel-max categorical sampling from externally supplied uniforms in
-    (0, 1); logits (..., Q), u same shape."""
-    g = -jnp.log(-jnp.log(u))
-    return jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
-
-
 def categorical_from_uniform(logits, u):
     """Inverse-CDF categorical sampling from ONE uniform per draw:
     id = #{q : cdf(q) < u}. logits (..., Q), u (...) in (0, 1).

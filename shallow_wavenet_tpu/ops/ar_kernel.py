@@ -120,11 +120,13 @@ def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
     return wb * (w + bufs + cond_blk) + 4 * other_blk
 
 
-# Hardware-probed ceiling (v5e, 2026-08): the deep-baseline bf16 kernel at
-# batch 16 / chunk 64 (estimate 20.6 MB) compiles, runs, and is row-exact vs
-# smaller batches; estimates >= ~23 MB fail to compile. The nominal "16 MB
-# VMEM/core" figure under-states what Mosaic actually packs for this kernel
-# (weight blocks are pipeline-invariant, so they are not double-buffered).
+# Coarse sanity gate for the byte ESTIMATE, calibrated after the
+# vmem_limit_bytes lift below: the fp32 shallow kernel runs up to B=832
+# (estimate ~109 MB) and fails at B=896 on real VMEM exhaustion, so the
+# gate only rejects configurations that cannot plausibly fit the physical
+# 128 MB/core. It is necessary but not sufficient — Mosaic hits
+# batch-dependent compile limits the estimate cannot see, which is what
+# `probe_pallas` (try-compile) exists to catch.
 _VMEM_BUDGET = 120 * 1024 * 1024
 
 # Per-kernel scoped-VMEM ceiling passed to Mosaic (vmem_limit_bytes). The

@@ -43,8 +43,10 @@ def estimate_f0(x, sample_rate: int, hop_length: int, win_length: int = 0,
     """(..., T) waveform -> (f0, vuv) each (..., n_frames).
 
     f0 is 0 where unvoiced; vuv is {0.,1.}. win_length defaults to
-    4 * sample_rate / f0_min rounded up to cover >= 2 periods of the lowest
-    pitch.
+    2.5 * sample_rate / f0_min (rounded even) — at least 2 periods of the
+    lowest pitch remain inside the window for every lag up to
+    sample_rate / f0_min. Keep in sync with native/featext.cc and
+    utils/native._f0_win (the pooled-worker twins).
     """
     if win_length == 0:
         win_length = int(2.5 * sample_rate / f0_min)

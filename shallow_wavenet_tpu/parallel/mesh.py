@@ -32,14 +32,31 @@ def make_mesh(cfg: MeshConfig | None = None) -> Mesh:
     global _DISTRIBUTED_INITIALIZED
     cfg = cfg or MeshConfig()
     if cfg.multihost and not _DISTRIBUTED_INITIALIZED:
+        import os
+
+        # distinguish "multihost preset run on a single dev box" (tolerated)
+        # from a REAL cluster launch: when a coordinator is configured, a
+        # failed initialize must fail fast — silently degrading to
+        # process_count()==1 would train N independent models that all
+        # write checkpoints into the same workdir
+        has_coordinator = any(
+            os.environ.get(v) for v in
+            ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+             "MEGASCALE_COORDINATOR_ADDRESS"))
         try:
             jax.distributed.initialize()
             _DISTRIBUTED_INITIALIZED = True
             log.info("jax.distributed initialized: process %d/%d",
                      jax.process_index(), jax.process_count())
-        except Exception as e:  # single-process run of a multihost preset
-            log.warning("jax.distributed.initialize failed (%s); "
-                        "continuing single-process", e)
+        except Exception as e:
+            if has_coordinator:
+                raise RuntimeError(
+                    "jax.distributed.initialize failed on a configured "
+                    "multi-host launch — refusing to continue "
+                    "single-process (checkpoint-corruption hazard)") from e
+            log.warning("jax.distributed.initialize failed (%s); no "
+                        "coordinator configured — continuing "
+                        "single-process", e)
     devices = np.asarray(jax.devices())
     if cfg.num_devices > 0:
         devices = devices[: cfg.num_devices]

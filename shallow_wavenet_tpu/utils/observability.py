@@ -33,9 +33,13 @@ class MetricsWriter:
     def scalars(self, step: int, values: dict[str, float]) -> None:
         if self._w is None:
             return
+        import numbers
+
         for k, v in values.items():
-            if isinstance(v, (int, float)):
-                self._w.add_scalar(k, v, step)
+            # numbers.Real also admits numpy scalars (np.float32 etc.),
+            # which a plain (int, float) isinstance silently drops
+            if isinstance(v, numbers.Real):
+                self._w.add_scalar(k, float(v), step)
 
     def close(self) -> None:
         if self._w is not None:

@@ -70,7 +70,7 @@ def test_streaming_equals_batch(head):
     B, F, _ = frames.shape
     syn = StreamingSynthesizer(pp, m, v, cfg, hop_length=hop, batch=B,
                                block_frames=32, chunk=64, seed=7,
-                               interpret=True)
+                               interpret=True, record_noise=True)
     pieces = []
     for s in range(0, F, 7):                       # ragged 7-frame pushes
         pieces.append(syn.push(frames[:, s:s + 7]))
@@ -96,7 +96,7 @@ def test_streaming_block_boundary_invisible():
     for bf in (32, 64):
         syn = StreamingSynthesizer(pp, m, v, cfg, hop_length=hop, batch=B,
                                    block_frames=bf, chunk=64, seed=3,
-                                   interpret=True)
+                                   interpret=True, record_noise=True)
         w = np.concatenate([syn.push(frames), syn.flush()], axis=1)
         # same seed, but blocks draw noise in different-shaped pieces —
         # replay through the batch oracle instead of comparing directly
