@@ -59,10 +59,13 @@ def _prep_fn(model):
 
 
 def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
-                 segment_samples: int = 0):
+                 segment_samples: int = 0, kernel_dtype: str = "auto"):
     """Generate one padded batch; returns list of trimmed waveforms.
     segment_samples > 0 decodes in bounded segments with teacher-forced
-    warm-starts (bit-exact; SURVEY.md §5.7 long-utterance mechanism)."""
+    warm-starts (bit-exact; SURVEY.md §5.7 long-utterance mechanism).
+    kernel_dtype restricts the Pallas tier ladder to one weight dtype
+    ("float32" = bit-exact-vs-scan tiers only, "bfloat16" = halved-VMEM
+    tiers only) — for quality A/B runs and VMEM-bound batches."""
     import jax
     import jax.numpy as jnp
     from shallow_wavenet_tpu.models.generate import (
@@ -124,9 +127,12 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
         # config's batch frontier well past the chunk-64 tiers'
         for dt, strm, chunk in (("float32", False, 64),
                                 ("float32", True, 64),
+                                ("float32", True, 32),
                                 ("bfloat16", False, 64),
                                 ("bfloat16", True, 64),
                                 ("bfloat16", True, 32)):
+            if kernel_dtype != "auto" and dt != kernel_dtype:
+                continue
             if not probe_pallas(cfg.model, batch=B, chunk=chunk, dtype=dt,
                                 stream=strm):
                 continue
@@ -177,6 +183,11 @@ def main(argv=None):
                         "warm-start length: sum(dilations)+1 rounded up to "
                         "64) — bit-exact on the Pallas backend, keeps "
                         "device HBM flat for very long utterances")
+    p.add_argument("--kernel-dtype", default="auto",
+                   choices=("auto", "float32", "bfloat16"),
+                   help="restrict the Pallas backend to one weight dtype "
+                        "(float32 tiers are bit-exact vs the scan path; "
+                        "bfloat16 halves kernel VMEM)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", action="store_true",
                    help="write a jax.profiler trace to <outdir>/profile")
@@ -207,7 +218,8 @@ def main(argv=None):
             t0 = time.time()
             wavs = decode_batch(trainer, state, cfg, chunk,
                                 jax.random.fold_in(key, i),
-                                segment_samples=args.segment_samples)
+                                segment_samples=args.segment_samples,
+                                kernel_dtype=args.kernel_dtype)
             wall = time.time() - t0
             audio_s = sum(len(w) for w in wavs) / cfg.data.sample_rate
             total_audio_s += audio_s
