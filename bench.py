@@ -21,12 +21,14 @@ TARGET_RTF = 0.1
 SECONDS_PER_UTT = 1.0
 # Batched utterances per chip. The old B=96 frontier was Mosaic's DEFAULT
 # 16 MB scoped-VMEM gate, not hardware: the kernel now requests the
-# physical 128 MB per-core VMEM via CompilerParams(vmem_limit_bytes), and
-# the fp32 (bit-exact-vs-scan) instance compiles and runs up to B=768 at
-# chunk 64 (hardware probe, v5e 2026-08; B=1024 exceeds the real 128 MB).
-# Per-step latency rises slowly with batch (5.7 us @ B=96 -> 17.3 us @
-# B=768) so per-chip throughput keeps climbing: 1847 audio-s/s at B=768.
-BATCH = 768
+# physical 128 MB per-core VMEM via CompilerParams(vmem_limit_bytes).
+# Per-step latency rises slowly with batch (5.7 us @ B=96 -> 17.2 us @
+# B=832) and per-chip throughput SATURATES at ~2030 audio-s/s around
+# B=832: the bf16 kernel (halved VMEM) runs B=1024/1280/1536 at
+# 22.9/26.4/32.8 us/step — RTF flat at ~0.0005 (v5e sweep 2026-08-19), so
+# past ~800 the step is compute/bandwidth-bound, not VMEM-bound. B=832
+# fp32 is the measured optimum and keeps the bit-exact-vs-scan property.
+BATCH = 832
 CHUNK = 64
 
 

@@ -66,9 +66,28 @@ def main():
         if not pallas_supported(mc, B, chunk, dt, stream):
             print(f"B={B:4d} chunk={chunk:4d} {dt:9s} SKIP vmem={est>>20}MB")
             continue
-        cond = jnp.asarray(
-            rng.standard_normal((B, n_frames, mc.aux_channels)), jnp.float32)
-        c_up = upsample(cond)
+        if dt == "bfloat16" and B > 512:
+            # large-batch bf16: the fp32 upsampled conditioning (plus the
+            # upsampler's fp32 temps) is the HBM bottleneck, not the
+            # kernel. Build the stream as bf16 in row chunks, staging
+            # through the host so only the final bf16 array lives on chip
+            # (bitwise-identical input to the bf16 kernel, which casts its
+            # cond stream to bf16 anyway)
+            rows = []
+            for lo in range(0, B, 256):
+                c = jnp.asarray(rng.standard_normal(
+                    (min(256, B - lo), n_frames, mc.aux_channels)),
+                    jnp.float32)
+                rows.append(np.asarray(
+                    upsample(c).astype(jnp.bfloat16)))
+                del c
+            c_up = jnp.asarray(np.concatenate(rows))
+            del rows
+        else:
+            cond = jnp.asarray(
+                rng.standard_normal((B, n_frames, mc.aux_channels)),
+                jnp.float32)
+            c_up = upsample(cond)
         np.asarray(c_up[0, :4])
         gen = lambda: generate_pallas(pp, mc, c_up, jax.random.key(1),
                                       chunk=chunk, dtype=dt, stream=stream)
