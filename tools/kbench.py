@@ -30,23 +30,23 @@ SECONDS = 0.5
 CHUNK = 256
 
 
-def bench_one(preset, dtype, batch, chunk=None, **kw):
-    global CHUNK
-    if chunk is not None:
-        CHUNK = chunk
-    return _bench_one(preset, dtype, batch, **kw)
+def bench_one(preset, dtype, batch, chunk=CHUNK, **kw):
+    return _bench_one(preset, dtype, batch, chunk=chunk, **kw)
 
 
-def _bench_one(preset, dtype, batch, **kw):
+def _bench_one(preset, dtype, batch, chunk=CHUNK, **kw):
     cfg = get_config(preset)
     mc = cfg.model
     sr = cfg.data.sample_rate
     hop = cfg.data.hop_length
     n_frames = int(SECONDS * sr) // hop
     t = n_frames * hop
-    if not pallas_supported(mc, batch=batch, chunk=CHUNK, dtype=dtype):
+    stream = bool(kw.get("stream", False))
+    if not pallas_supported(mc, batch=batch, chunk=chunk, dtype=dtype,
+                            stream=stream):
         print(f"{preset} {dtype} b{batch}: unsupported "
-              f"({vmem_bytes_estimate(mc, batch, CHUNK, dtype)>>20} MB)")
+              f"({vmem_bytes_estimate(mc, batch, chunk, dtype, stream)>>20}"
+              f" MB)")
         return None
 
     model = WaveNet(mc)
@@ -66,7 +66,7 @@ def _bench_one(preset, dtype, batch, **kw):
     c_up.block_until_ready()
 
     gen = lambda: generate_pallas(pp, mc, c_up, jax.random.key(1),
-                                  chunk=CHUNK, dtype=dtype, **kw)
+                                  chunk=chunk, dtype=dtype, **kw)
     sync = lambda x: (np.asarray(x[0]), x)[1]   # D2H fetch = real barrier
     t0 = time.time()
     sync(gen())

@@ -25,7 +25,6 @@ exact arithmetic but NOT bit-exact in fp32 (different summation order).
 Usage: python tools/kfuse.py [preset] [dtype] [batch,batch,...] [W,W,...]
 """
 
-import functools
 import os
 import sys
 import time
@@ -74,8 +73,8 @@ def build(cfg, W, B, wdt):
             ms = rest[len(blocks):len(blocks) + L]
             out_ref, bufs, fb_ref = rest[len(blocks) + L:]
         else:
-            conv_w1, res_w, skip_w = rest[:3]
-            out_ref, bufs, fb_ref = rest[3:]
+            conv_w1, res_w = rest[:2]
+            out_ref, bufs, fb_ref = rest[2:]
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -182,7 +181,7 @@ def run(cfg, W, B, wdt):
                     ps + [res_w[l], skip_w[l]], axis=-1))
     else:
         rs_w = jnp.concatenate([skip_w, res_w], axis=-1)      # (L, gp, S+R)
-        weights += [conv_w1, rs_w, skip_w]
+        weights += [conv_w1, rs_w]
     wbytes = (sum(int(np.prod(w.shape)) for w in weights)
               * np.dtype(wdt).itemsize)
 

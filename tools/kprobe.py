@@ -6,7 +6,6 @@ ablated variant — timing only.
 Usage: python tools/kprobe.py [batch] [chunk] [dtype]
 """
 
-import functools
 import os
 import sys
 import time
@@ -184,7 +183,9 @@ def run(ablate):
         t0 = time.time()
         np.asarray(f(cond, noise)[0])
         best = min(best, time.time() - t0)
-    return best / T * 1e6
+    # the grid executes whole chunks only
+    steps = (T // CHUNK) * CHUNK
+    return best / steps * 1e6
 
 
 def main():
@@ -199,6 +200,8 @@ def main():
             continue
         if ab == "full":
             base = us
+            print(f"{ab:14s} {us:6.2f} us/step")
+        elif base is None:          # 'full' failed — no baseline to diff
             print(f"{ab:14s} {us:6.2f} us/step")
         else:
             print(f"{ab:14s} {us:6.2f} us/step  (saves {base - us:+5.2f})")

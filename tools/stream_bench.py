@@ -63,8 +63,8 @@ def main():
         out = syn.push(blk)
         dt = time.time() - t0
         emitted += out.shape[1]
-        if i >= 3:                       # skip compile warmup pushes
-            lat.append(dt)
+        if i >= min(3, N_BLOCKS - 1):    # skip compile warmup pushes but
+            lat.append(dt)               # keep >=1 sample for tiny runs
     total = time.time() - t_start
     lat = np.asarray(lat) * 1e3
     block_ms = BLOCK_FRAMES * dc.hop_length / dc.sample_rate * 1e3
