@@ -8,7 +8,6 @@ batch) combination on the attached TPU.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,7 +20,6 @@ from shallow_wavenet_tpu.utils.compile_cache import enable_compilation_cache
 enable_compilation_cache()
 
 from shallow_wavenet_tpu.config import get_config  # noqa: E402
-from shallow_wavenet_tpu.models import WaveNet, extract_plain_params  # noqa: E402
 from shallow_wavenet_tpu.ops.ar_kernel import (  # noqa: E402
     generate_pallas, pallas_supported, vmem_bytes_estimate,
 )
@@ -49,33 +47,18 @@ def _bench_one(preset, dtype, batch, chunk=CHUNK, **kw):
               f" MB)")
         return None
 
-    model = WaveNet(mc)
+    from tools._common import best_of, init_model, upsample_fn
+
     rng = np.random.default_rng(0)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        x0 = jnp.asarray(rng.uniform(-1, 1, (1, 2 * hop - 1)), jnp.float32)
-        c0 = jnp.asarray(rng.standard_normal((1, 2, mc.aux_channels)),
-                         jnp.float32)
-        variables = model.init(jax.random.key(0), x0, c0)
-    variables = jax.device_put(variables, jax.devices()[0])
-    pp = extract_plain_params(variables, mc)
+    model, variables, pp = init_model(mc, hop)
     cond = jnp.asarray(
         rng.standard_normal((batch, n_frames, mc.aux_channels)), jnp.float32)
-    c_up = jax.jit(lambda c: model.apply(variables, c, method="upsample_cond")
-                   )(cond)
+    c_up = upsample_fn(model, variables)(cond)
     c_up.block_until_ready()
 
     gen = lambda: generate_pallas(pp, mc, c_up, jax.random.key(1),
                                   chunk=chunk, dtype=dtype, **kw)
-    sync = lambda x: (np.asarray(x[0]), x)[1]   # D2H fetch = real barrier
-    t0 = time.time()
-    sync(gen())
-    compile_s = time.time() - t0
-    best = 1e9
-    for _ in range(3):
-        t0 = time.time()
-        sync(gen())
-        best = min(best, time.time() - t0)
+    best, compile_s = best_of(gen)
     us_step = best / t * 1e6
     rtf = best / (batch * t / sr)
     print(f"{preset} {dtype} b{batch} {kw}: {us_step:.2f} us/step, "

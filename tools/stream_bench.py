@@ -23,7 +23,6 @@ from shallow_wavenet_tpu.utils.compile_cache import enable_compilation_cache
 enable_compilation_cache()
 
 from shallow_wavenet_tpu.config import get_config  # noqa: E402
-from shallow_wavenet_tpu.models import WaveNet, extract_plain_params  # noqa: E402
 from shallow_wavenet_tpu.models.streaming import StreamingSynthesizer  # noqa: E402
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
@@ -37,17 +36,10 @@ def main():
     print(f"device={jax.devices()} B={B} block={BLOCK_FRAMES} frames "
           f"({BLOCK_FRAMES * dc.hop_length / dc.sample_rate * 1e3:.1f} ms "
           f"audio/block)")
-    model = WaveNet(mc)
+    from tools._common import init_model
+
     rng = np.random.default_rng(0)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        x0 = jnp.asarray(rng.uniform(-1, 1, (1, 2 * dc.hop_length - 1)),
-                         jnp.float32)
-        c0 = jnp.asarray(rng.standard_normal((1, 2, mc.aux_channels)),
-                         jnp.float32)
-        v = model.init(jax.random.key(0), x0, c0)
-    v = jax.device_put(v, jax.devices()[0])
-    pp = extract_plain_params(v, mc)
+    model, v, pp = init_model(mc, dc.hop_length)
 
     syn = StreamingSynthesizer(pp, model, v, mc, hop_length=dc.hop_length,
                                batch=B, block_frames=BLOCK_FRAMES, chunk=64)

@@ -22,7 +22,6 @@ def main():
     enable_compilation_cache()
 
     from shallow_wavenet_tpu.config import get_config
-    from shallow_wavenet_tpu.models import WaveNet, extract_plain_params
     from shallow_wavenet_tpu.ops.ar_kernel import (
         generate_pallas, pallas_supported, vmem_bytes_estimate,
     )
@@ -35,18 +34,11 @@ def main():
     n_frames = int(1.0 * sr) // hop
     t_samples = n_frames * hop
 
-    model = WaveNet(mc)
+    from tools._common import init_model, upsample_fn
+
     rng = np.random.default_rng(0)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        x0 = jnp.asarray(rng.uniform(-1, 1, (1, 2 * hop - 1)), jnp.float32)
-        c0 = jnp.asarray(rng.standard_normal((1, 2, mc.aux_channels)),
-                         jnp.float32)
-        variables = model.init(jax.random.key(0), x0, c0)
-    variables = jax.device_put(variables, jax.devices()[0])
-    pp = extract_plain_params(variables, mc)
-    upsample = jax.jit(
-        lambda c: model.apply(variables, c, method="upsample_cond"))
+    model, variables, pp = init_model(mc, hop)
+    upsample = upsample_fn(model, variables)
 
     if len(sys.argv) > 2:
         grid = []
