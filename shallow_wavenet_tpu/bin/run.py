@@ -43,6 +43,10 @@ def main(argv=None):
                         "run's model dir (see bin/train.py --init-from)")
     p.add_argument("--n-train", type=int, default=8)
     p.add_argument("--n-eval", type=int, default=2)
+    p.add_argument("--corpus-seed", type=int, default=1234,
+                   help="synthetic-corpus RNG seed (stage 0): a different "
+                        "seed gives genuinely different utterances, e.g. "
+                        "as the target data of an --init-from fine-tune")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
     setup_logging()
@@ -77,6 +81,7 @@ def main(argv=None):
                 corpus, n_train=args.n_train, n_eval=args.n_eval,
                 sample_rate=cfg.data.sample_rate, duration_s=1.0,
                 n_speakers=max(cfg.model.n_speakers, 1),
+                seed=args.corpus_seed,
             )
             log.info("synthetic corpus: %d train / %d eval",
                      args.n_train, args.n_eval)
