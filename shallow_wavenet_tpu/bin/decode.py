@@ -169,6 +169,30 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
     return [wav[i, : n_samples[i]] for i in range(len(utts))]
 
 
+def shift_f0(utts, cfg: Config, stats_path, factor: float):
+    """Scale the log-F0 conditioning column by `factor` on voiced frames —
+    pitch transposition through the vocoder (the reference family's
+    WORLD-vocoder VC use case). Features arrive normalized, so the column
+    is un-normalized, shifted by ln(factor), and re-normalized; unvoiced
+    frames (lf0 encoded 0, ops/f0.log_f0) are untouched."""
+    from shallow_wavenet_tpu.bin.common import load_stats
+
+    if cfg.data.feature_type != "world":
+        raise ValueError("--f0-factor needs data.feature_type=world "
+                         "(the mel feature set has no explicit F0 track)")
+    if factor <= 0:
+        raise ValueError("--f0-factor must be > 0")
+    mean, std = load_stats(stats_path)
+    shift = float(np.log(factor))
+    for u in utts:
+        lf0 = u.feats[:, 0] * max(std[0], 1e-8) + mean[0]
+        vuv = u.feats[:, 1] * max(std[1], 1e-8) + mean[1]
+        voiced = vuv > 0.5
+        lf0 = np.where(voiced, lf0 + shift, lf0)
+        u.feats[:, 0] = (lf0 - mean[0]) / max(std[0], 1e-8)
+    return utts
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--eval-scp", required=True)
@@ -183,6 +207,10 @@ def main(argv=None):
                         "warm-start length: sum(dilations)+1 rounded up to "
                         "64) — bit-exact on the Pallas backend, keeps "
                         "device HBM flat for very long utterances")
+    p.add_argument("--f0-factor", type=float, default=1.0,
+                   help="scale the F0 conditioning track by this factor "
+                        "before synthesis (world features only) — the "
+                        "VC-style pitch-transposition knob; 1.0 = off")
     p.add_argument("--kernel-dtype", default="auto",
                    choices=("auto", "float32", "bfloat16"),
                    help="restrict the Pallas backend to one weight dtype "
@@ -202,6 +230,8 @@ def main(argv=None):
                            highpass_cutoff=cfg.data.highpass_cutoff,
                            sample_rate=cfg.data.sample_rate,
                            load_wav=False)  # decode consumes features only
+    if args.f0_factor != 1.0:
+        utts = shift_f0(utts, cfg, args.stats, args.f0_factor)
     paths = read_file_list(args.eval_scp)
     trainer, state, step = load_model_state(cfg, args.workdir)
     outdir = Path(args.outdir)

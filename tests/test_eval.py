@@ -48,3 +48,38 @@ def test_eval_pair_degrades_with_noise():
     m = eval_pair(ref, gen, cfg)
     assert m["mcd_db"] > 0.5
     assert m["lsd_db"] > 1.0
+
+
+def test_decode_f0_factor_shifts_voiced_lf0(tmp_path):
+    """--f0-factor scales the (normalized) log-F0 conditioning column by
+    ln(factor) on voiced frames only."""
+    import numpy as np
+
+    from shallow_wavenet_tpu.bin.common import Utterance
+    from shallow_wavenet_tpu.bin.decode import shift_f0
+    from shallow_wavenet_tpu.config import get_config
+    from shallow_wavenet_tpu.data.hdf5_io import write_hdf5
+
+    cfg = get_config("shallow_laplace_ns", [
+        "data.feature_type=world", "model.aux_channels=31"])
+    rng = np.random.default_rng(0)
+    mean = rng.standard_normal(31).astype(np.float32)
+    std = rng.uniform(0.5, 2.0, 31).astype(np.float32)
+    stats = tmp_path / "stats.h5"
+    write_hdf5(stats, "mean", mean)
+    write_hdf5(stats, "std", std)
+
+    # raw features: voiced first half (lf0 ~ log 150 Hz), unvoiced second
+    raw = rng.standard_normal((10, 31)).astype(np.float32)
+    raw[:5, 0], raw[:5, 1] = np.log(150.0), 1.0
+    raw[5:, 0], raw[5:, 1] = 0.0, 0.0
+    norm = (raw - mean) / np.maximum(std, 1e-8)
+    utt = Utterance(wav=np.zeros(0, np.float32), feats=norm.copy())
+
+    (out,) = shift_f0([utt], cfg, stats, factor=1.5)
+    lf0 = out.feats[:, 0] * np.maximum(std[0], 1e-8) + mean[0]
+    np.testing.assert_allclose(lf0[:5], np.log(150.0) + np.log(1.5),
+                               rtol=1e-5)
+    np.testing.assert_allclose(lf0[5:], 0.0, atol=1e-5)
+    # the other columns are untouched
+    np.testing.assert_array_equal(out.feats[:, 1:], norm[:, 1:])
