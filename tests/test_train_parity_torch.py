@@ -10,7 +10,6 @@ parameters, consume the SAME batch sequence, and run the SAME recipe
 import numpy as np
 import pytest
 
-import jax
 
 from shallow_wavenet_tpu.config import (
     Config, DataConfig, ModelConfig, TrainConfig,
@@ -22,12 +21,13 @@ from . import torch_trainref as ttr
 N_STEPS = 25
 
 
-def _cfg(head):
+def _cfg(head, n_speakers=0):
     c = Config(name="parity")
     c.model = ModelConfig(
         n_stacks=1, stack_size=3, residual_channels=16, gate_channels=32,
         skip_channels=24, aux_channels=8, upsample_factors=(2, 2),
         cond_channels=12, head=head, compute_dtype="float32",
+        n_speakers=n_speakers,
     )
     c.data = DataConfig(sample_rate=8000, hop_length=4, n_mels=8,
                         segment_length=64, batch_size=2)
@@ -47,18 +47,24 @@ def _batches(cfg, n, seed=0):
     b = cfg.data.batch_size
     out = []
     for _ in range(n):
-        out.append({
+        batch = {
             "x": rng.uniform(-0.8, 0.8, (b, total)).astype(np.float32),
             "cond": rng.standard_normal(
                 (b, total // hop, cfg.model.aux_channels)
             ).astype(np.float32),
-        })
+        }
+        if cfg.model.n_speakers > 0:
+            batch["speaker"] = rng.integers(
+                0, cfg.model.n_speakers, b).astype(np.int32)
+        out.append(batch)
     return out
 
 
-@pytest.mark.parametrize("head", ["laplace", "softmax"])
-def test_training_trajectory_tracks_torch(head):
-    cfg = _cfg(head)
+@pytest.mark.parametrize("head,n_speakers", [
+    ("laplace", 0), ("softmax", 0), ("laplace", 2),
+])
+def test_training_trajectory_tracks_torch(head, n_speakers):
+    cfg = _cfg(head, n_speakers)
     trainer = Trainer(cfg, mesh=None)
     state = trainer.init_state()
     batches = _batches(cfg, N_STEPS)
@@ -71,7 +77,7 @@ def test_training_trajectory_tracks_torch(head):
     # init_state is deterministic (seeded from cfg), so a fresh call
     # reproduces the exact parameters the JAX run started from
     init = trainer.init_state()
-    tp = ttr.params_to_torch(jax.tree.map(np.asarray, init.params))
+    tp = ttr.params_to_torch(init.params)
 
     quantize = None
     if head == "softmax":

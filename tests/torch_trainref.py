@@ -101,6 +101,8 @@ def loss_fn(tp, cfg, seg_len, x, cond, speaker=None,
             quantize=None):
     """== Trainer._loss_fn: shift, forward, mask to the segment tail."""
     if cfg.head == "softmax":
+        assert quantize is not None, \
+            "softmax head needs the mu-law quantize callable"
         q = quantize(x)
         x_in, target = q[:, :-1], q[:, 1:]
     else:
