@@ -101,14 +101,20 @@ def test_config_file_roundtrip(tmp_path):
 def test_egs_run_sh_shell_surface(tmp_path):
     """The egs/<corpus>/<recipe>/run.sh shell surface (component C1's
     literal form) drives stages 0-2 from its conf/config.json."""
+    import os
     import subprocess
 
     repo = Path(__file__).resolve().parent.parent
     script = repo / "egs/synthetic/shallow_softmax_single/run.sh"
+    # hermetic: strip the accelerator-plugin env so the subprocess runs on
+    # CPU instead of contending for the (single) TPU another job may hold
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "TPU_NAME")}
+    env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
         [str(script), "--workdir", str(tmp_path), "--stage", "0",
          "--stop_stage", "2", "--n_train", "2", "--n_eval", "1", *TINY],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=300, env=env,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "stats.h5").exists()
