@@ -50,8 +50,8 @@ BATCHES = ([int(x) for x in sys.argv[3].split(",")]
            if len(sys.argv) > 3 else [32, 64, 96])
 WINDOWS = ([int(x) for x in sys.argv[4].split(",")]
            if len(sys.argv) > 4 else [0, 2, 3, 4, 6, 12])
-CHUNK = 64
-T = 24000
+CHUNK = int(os.environ.get("KFUSE_CHUNK", "64"))
+T = int(os.environ.get("KFUSE_T", "24000"))
 
 
 def build(cfg, W, B, wdt):
@@ -207,6 +207,8 @@ def run(cfg, W, B, wdt):
         out_shape=jax.ShapeDtypeStruct((T, B), jnp.float32),
         scratch_shapes=[pltpu.VMEM((sum_d, B, R), wdt),
                         pltpu.VMEM((B, R), wdt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
     )
     f = jax.jit(lambda c, n: call(c, n, *weights))
     out = f(cond, noise)
