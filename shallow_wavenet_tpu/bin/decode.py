@@ -59,13 +59,19 @@ def _prep_fn(model):
 
 
 def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
-                 segment_samples: int = 0, kernel_dtype: str = "auto"):
+                 segment_samples: int = 0, kernel_dtype: str = "auto",
+                 mesh=None):
     """Generate one padded batch; returns list of trimmed waveforms.
     segment_samples > 0 decodes in bounded segments with teacher-forced
     warm-starts (bit-exact; SURVEY.md §5.7 long-utterance mechanism).
     kernel_dtype restricts the Pallas tier ladder to one weight dtype
     ("float32" = bit-exact-vs-scan tiers only, "bfloat16" = halved-VMEM
-    tiers only) — for quality A/B runs and VMEM-bound batches."""
+    tiers only) — for quality A/B runs and VMEM-bound batches.
+    mesh: a ('data',) Mesh routes generation through generate_dp —
+    utterances sharded over chips, params replicated, zero cross-chip
+    traffic during the AR loop (BASELINE config 4). The noise stream is
+    drawn at the TRUE batch size and row-padded, so DP output is
+    sample-identical to the single-device path for the real utterances."""
     import jax
     import jax.numpy as jnp
     from shallow_wavenet_tpu.models.generate import (
@@ -77,6 +83,13 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
     variables = {"params": state.params}
     spk = (jnp.asarray([u.speaker for u in utts], jnp.int32)
            if cfg.model.n_speakers > 0 else None)
+    if mesh is not None:
+        if segment_samples > 0:
+            raise ValueError("--dp and --segment-samples are mutually "
+                             "exclusive (the DP path shards whole "
+                             "utterances over chips)")
+        return _decode_batch_dp(trainer, state, cfg, utts, cond, n_samples,
+                                key, mesh, use_pallas, kernel_dtype)
     if segment_samples > 0:
         # validate up front: inside the tier loop a ValueError would be
         # mistaken for a compile failure and silently drop to the slow path
@@ -169,6 +182,72 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
     return [wav[i, : n_samples[i]] for i in range(len(utts))]
 
 
+def _decode_batch_dp(trainer, state, cfg: Config, utts, cond, n_samples,
+                     key, mesh, use_pallas, kernel_dtype):
+    """DP generation over a ('data',) mesh (BASELINE.json:10): the padded
+    utterance batch is row-padded to a multiple of the mesh size (repeating
+    the last row — the extra rows are discarded after trimming) and routed
+    through generate_dp. The noise stream is drawn at the TRUE batch shape
+    so the kept rows are sample-identical to single-device decode with the
+    same key (locked by tests/test_recipe.py::test_decode_dp_cli)."""
+    import jax
+    import jax.numpy as jnp
+    from shallow_wavenet_tpu.models.generate import generate_dp
+    from shallow_wavenet_tpu.ops.ar_kernel import probe_pallas
+
+    n_dev = mesh.devices.size
+    B = len(utts)
+    Bp = -(-B // n_dev) * n_dev
+    variables = {"params": state.params}
+    spk = (jnp.asarray([u.speaker for u in utts], jnp.int32)
+           if cfg.model.n_speakers > 0 else None)
+    if spk is not None and Bp > B:
+        spk = jnp.concatenate(
+            [spk, jnp.repeat(spk[-1:], Bp - B, axis=0)])
+    cond = np.concatenate(
+        [cond, np.repeat(cond[-1:], Bp - B, axis=0)]) if Bp > B else cond
+    c_up, pp = _prep_fn(trainer.model)(variables, jnp.asarray(cond), spk)
+    T = c_up.shape[1]
+    noise = jax.random.uniform(key, (B, T), minval=1e-7, maxval=1.0 - 1e-7)
+    if Bp > B:
+        noise = jnp.concatenate(
+            [noise, jnp.repeat(noise[-1:], Bp - B, axis=0)])
+    # _prep_fn ran on the default device; re-place for the mesh (params
+    # replicated, batch dims sharded on the data axis)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    pp = jax.device_put(pp, NamedSharding(mesh, P()))
+    c_up = jax.device_put(c_up, NamedSharding(mesh, P(axis)))
+    noise = jax.device_put(noise, NamedSharding(mesh, P(axis)))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    wav = None
+    if use_pallas:
+        per_dev = Bp // n_dev
+        for dt, strm in (("float32", False), ("float32", True),
+                         ("bfloat16", False), ("bfloat16", True)):
+            if kernel_dtype != "auto" and dt != kernel_dtype:
+                continue
+            if not probe_pallas(cfg.model, batch=per_dev, chunk=64,
+                                dtype=dt, stream=strm):
+                continue
+            try:
+                wav = np.asarray(generate_dp(
+                    pp, cfg.model, c_up, noise, mesh, use_pallas=True,
+                    chunk=64, stream=strm, dtype=dt))
+                break
+            except Exception as e:  # noqa: BLE001 — Mosaic frontier; next tier
+                log.warning("dp pallas %s%s failed at B/dev=%d T=%d (%s: "
+                            "%s); falling back", dt,
+                            " streamed" if strm else "", per_dev, T,
+                            type(e).__name__, str(e)[:500])
+    if wav is None:
+        wav = np.asarray(generate_dp(pp, cfg.model, c_up, noise, mesh,
+                                     use_pallas=False))
+    return [wav[i, : n_samples[i]] for i in range(B)]
+
+
 def shift_f0(utts, cfg: Config, stats_path, factor: float):
     """Scale the log-F0 conditioning column by `factor` on voiced frames —
     pitch transposition through the vocoder (the reference family's
@@ -211,6 +290,11 @@ def main(argv=None):
                    help="scale the F0 conditioning track by this factor "
                         "before synthesis (world features only) — the "
                         "VC-style pitch-transposition knob; 1.0 = off")
+    p.add_argument("--dp", action="store_true",
+                   help="shard the utterance batch over all visible chips "
+                        "(('data',) mesh, params replicated, Pallas kernel "
+                        "per device — BASELINE config 4). Sample-identical "
+                        "to single-device decode with the same --seed")
     p.add_argument("--kernel-dtype", default="auto",
                    choices=("auto", "float32", "bfloat16"),
                    help="restrict the Pallas backend to one weight dtype "
@@ -234,6 +318,13 @@ def main(argv=None):
         utts = shift_f0(utts, cfg, args.stats, args.f0_factor)
     paths = read_file_list(args.eval_scp)
     trainer, state, step = load_model_state(cfg, args.workdir)
+    mesh = None
+    if args.dp:
+        from shallow_wavenet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.mesh)
+        log.info("--dp: %d-device %s mesh", mesh.devices.size,
+                 mesh.axis_names)
     outdir = Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
 
@@ -249,7 +340,8 @@ def main(argv=None):
             wavs = decode_batch(trainer, state, cfg, chunk,
                                 jax.random.fold_in(key, i),
                                 segment_samples=args.segment_samples,
-                                kernel_dtype=args.kernel_dtype)
+                                kernel_dtype=args.kernel_dtype,
+                                mesh=mesh)
             wall = time.time() - t0
             audio_s = sum(len(w) for w in wavs) / cfg.data.sample_rate
             total_audio_s += audio_s

@@ -136,7 +136,8 @@ def generate_fast(pp: dict, cfg: ModelConfig, c_up, key, mode: str = "sample",
 
 def generate_dp(pp: dict, cfg: ModelConfig, c_up, noise, mesh,
                 mode: str = "sample", use_pallas: bool = False,
-                chunk: int = 512, stream: bool = False):
+                chunk: int = 512, stream: bool = False,
+                dtype: str = "float32", interpret: bool = False):
     """Batched AR generation sharded over chips (BASELINE config 4;
     SURVEY.md §2.2 DP row): shard_map over the ('data',) mesh — each device
     generates its own utterance shard with the queue-cached step (Pallas
@@ -158,7 +159,8 @@ def generate_dp(pp: dict, cfg: ModelConfig, c_up, noise, mesh,
             from shallow_wavenet_tpu.ops.ar_kernel import generate_pallas
 
             return generate_pallas(pp_, cfg, c_up_, mode=mode, noise=noise_,
-                                   chunk=chunk, stream=stream)
+                                   chunk=chunk, stream=stream, dtype=dtype,
+                                   interpret=interpret)
         return generate_fast(pp_, cfg, c_up_, jax.random.key(0), mode,
                              noise=noise_)
 

@@ -67,6 +67,33 @@ def test_recipe_multispeaker(tmp_path):
     assert len(spks) >= 2
 
 
+def test_decode_dp_cli(tmp_path):
+    """`decode --dp` (BASELINE.json:10, VERDICT r1 item 6): the sharded
+    generation path is a user-facing CLI capability, and its output is
+    sample-identical to single-device decode with the same seed — the
+    3-utterance batch is row-padded to the 8-device mesh inside
+    _decode_batch_dp and trimmed back."""
+    from shallow_wavenet_tpu.bin import decode
+
+    run_stages(tmp_path, "shallow_laplace_single", steps=5, n_eval=3,
+               extra=["noise_shaping.enabled=false"])
+    single = {p.name: p.read_bytes()
+              for p in (tmp_path / "gen_wav").glob("*.wav")}
+    assert len(single) == 3
+    decode.main([
+        "--eval-scp", str(tmp_path / "corpus/eval.scp"),
+        "--feats-dir", str(tmp_path / "feats"),
+        "--stats", str(tmp_path / "stats.h5"),
+        "--workdir", str(tmp_path / "model"),
+        "--outdir", str(tmp_path / "dp_wav"), "--dp",
+        "--preset", "shallow_laplace_single", *TINY,
+        "noise_shaping.enabled=false",
+    ])
+    dp = {p.name: p.read_bytes()
+          for p in (tmp_path / "dp_wav").glob("*.wav")}
+    assert dp == single
+
+
 def test_recipe_stage_resume(tmp_path):
     """--stage N resumes mid-pipeline (SURVEY.md §5.3)."""
     run_stages(tmp_path, "shallow_softmax_single", stages=(0, 2))

@@ -52,6 +52,11 @@ WINDOWS = ([int(x) for x in sys.argv[4].split(",")]
            if len(sys.argv) > 4 else [0, 2, 3, 4, 6, 12])
 CHUNK = int(os.environ.get("KFUSE_CHUNK", "64"))
 T = int(os.environ.get("KFUSE_T", "24000"))
+# n_chunks = T // CHUNK drops a partial tail chunk, but the us/step
+# normalization divides by the full T — require divisibility so the
+# reported time can never be silently underestimated (ADVICE.md r1).
+if T % CHUNK != 0:
+    raise SystemExit(f"KFUSE_T={T} must be a multiple of KFUSE_CHUNK={CHUNK}")
 
 
 def build(cfg, W, B, wdt):
