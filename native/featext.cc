@@ -14,6 +14,7 @@
 // All internal math is double precision; outputs are float32. The JAX ops
 // run fp32, so parity tests use tolerances, not bit-equality.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <vector>
@@ -144,7 +145,10 @@ extern "C" {
 // F0 + voicing, the exact algorithm of ops/f0.py estimate_f0:
 // biased normalized autocorrelation -> peak over [lag_min, lag_max] ->
 // re-maximize the window-de-biased values in a +-3 neighborhood ->
-// parabolic interpolation -> clarity/energy/range voicing gate.
+// parabolic interpolation -> octave/subharmonic guard (prefer ~lag/m,
+// m = 2, 3, when its de-biased value is >= 0.9 * peak) -> clarity/energy/
+// range voicing gate -> temporal continuity repair (5-frame voiced
+// median replaces > 18% outliers).
 // x: (t,) float32. out_f0/out_vuv: (n_frames,) float32,
 // n_frames = 1 + (t + 2*(win/2) - win) / hop.
 void swt_f0_estimate(const float* x, int64_t t, double sample_rate, int hop,
@@ -158,6 +162,7 @@ void swt_f0_estimate(const float* x, int64_t t, double sample_rate, int hop,
   const std::vector<double> w = hann(win);
   const std::vector<double> wac = window_autocorr(w, n_fft);
 
+  std::vector<double> f0_raw(n_frames, 0.0);
   std::vector<double> frame, ac;
   for (int64_t f = 0; f < n_frames; ++f) {
     window_frame(x, t, win, hop, f, w, /*remove_mean=*/true, frame);
@@ -178,34 +183,79 @@ void swt_f0_estimate(const float* x, int64_t t, double sample_rate, int hop,
         k0 = k;
       }
     }
-    // de-biased re-maximization in [k0-3, k0+3] (indices clipped to range)
     auto debiased = [&](int k) {
       return ac[lag_min + k] / ac0 / wac[lag_min + k];
     };
-    int k = 0;
-    best = -1e300;
-    for (int off = -3; off <= 3; ++off) {
-      const int kk = std::min(std::max(k0 + off, 0), span);
-      const double v = debiased(kk);
-      if (v > best) {
-        best = v;
-        k = std::min(std::max(k0 + off, 0), span);
+    // de-biased re-maximization around j0 + parabolic refinement — the
+    // refine() helper of ops/f0.py
+    auto refine = [&](int j0, int window, int* j_out, double* v_out,
+                      double* d_out) {
+      int j = 0;
+      double b2 = -1e300;
+      for (int off = -window; off <= window; ++off) {
+        const int kk = std::min(std::max(j0 + off, 0), span);
+        const double v = debiased(kk);
+        if (v > b2) {
+          b2 = v;
+          j = kk;
+        }
       }
+      const double v = debiased(j);
+      const double jm1 = debiased(std::max(j - 1, 0));
+      const double jp1 = debiased(std::min(j + 1, span));
+      const double denom = jm1 - 2.0 * v + jp1;
+      double delta =
+          std::fabs(denom) > 1e-9 ? 0.5 * (jm1 - jp1) / denom : 0.0;
+      *j_out = j;
+      *v_out = v;
+      *d_out = std::min(std::max(delta, -0.5), 0.5);
+    };
+
+    int k;
+    double peak, delta;
+    refine(k0, 3, &k, &peak, &delta);
+    double lag = lag_min + k + delta;
+    // octave/subharmonic guard (see ops/f0.py): the global max can land an
+    // integer multiple of the true period low — prefer ~lag/m when nearly
+    // as high
+    for (int m = 2; m <= 3; ++m) {
+      const int jc =
+          static_cast<int>(std::llround((lag_min + k) / static_cast<double>(m)))
+          - lag_min;
+      if (jc < 0) continue;
+      int jc_;
+      double vc, dc;
+      refine(jc, 2, &jc_, &vc, &dc);
+      if (vc >= 0.9 * peak) lag = lag_min + jc_ + dc;
     }
-    const double peak = debiased(k);
-    const double km1 = debiased(std::max(k - 1, 0));
-    const double kp1 = debiased(std::min(k + 1, span));
-    const double denom = km1 - 2.0 * peak + kp1;
-    double delta =
-        std::fabs(denom) > 1e-9 ? 0.5 * (km1 - kp1) / denom : 0.0;
-    delta = std::min(std::max(delta, -0.5), 0.5);
-    const double lag = lag_min + k + delta;
     const double f0 = sample_rate / std::max(lag, 1.0);
 
     const bool voiced = peak > threshold && energy > 1e-6 && f0 >= f0_min &&
                         f0 <= f0_max;
     out_vuv[f] = voiced ? 1.0f : 0.0f;
-    out_f0[f] = voiced ? static_cast<float>(f0) : 0.0f;
+    f0_raw[f] = f0;
+  }
+
+  // temporal continuity repair — _correct_outliers of ops/f0.py: 5-frame
+  // median with unvoiced neighbors replaced by the center value (edge
+  // padding = index clamp); voiced frames deviating > 18% take the median
+  for (int64_t f = 0; f < n_frames; ++f) {
+    if (out_vuv[f] == 0.0f) {
+      out_f0[f] = 0.0f;
+      continue;
+    }
+    double wv[5];
+    for (int o = -2; o <= 2; ++o) {
+      const int64_t j =
+          std::min(std::max<int64_t>(f + o, 0), n_frames - 1);
+      wv[o + 2] = out_vuv[j] > 0.0f ? f0_raw[j] : f0_raw[f];
+    }
+    // median of 5 by partial sort
+    std::sort(wv, wv + 5);
+    const double med = wv[2];
+    const double v =
+        std::fabs(f0_raw[f] - med) > 0.18 * med ? med : f0_raw[f];
+    out_f0[f] = static_cast<float>(v);
   }
 }
 

@@ -56,7 +56,7 @@ def main(argv=None):
         ns = cfg.noise_shaping
         tot, cnt = 0.0, 0
         for wp in paths:
-            wav, sr = read_wav(wp)
+            wav, sr = read_wav(wp, target_sr=cfg.data.sample_rate)
             if cfg.data.highpass_cutoff > 0:
                 # the shaping filter must be fit to the same filtered
                 # signal training/generation will see

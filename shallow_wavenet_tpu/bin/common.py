@@ -84,7 +84,10 @@ def load_utterances(wav_scp: str | Path, feats_dir: str | Path,
     for p in read_file_list(wav_scp):
         if load_wav:
             wav_p = (Path(waveform_dir) / Path(p).name) if waveform_dir else p
-            wav, sr = read_wav(wav_p)
+            # resample-on-load: external corpora may not match the recipe
+            # rate; features were extracted at the config rate, so the
+            # waveform must land there too or wav/cond misalign
+            wav, sr = read_wav(wav_p, target_sr=sample_rate)
             # noise-shaped waveforms (waveform_dir) were already high-passed
             # in stage 3 — filtering twice would double the attenuation
             if highpass_cutoff > 0 and waveform_dir is None:

@@ -27,9 +27,14 @@ log = logging.getLogger("feature_extract")
 def extract_one(wav_path: str, cfg, numpy_only: bool = False) -> np.ndarray:
     wav, sr = read_wav(wav_path)
     if sr != cfg.data.sample_rate:
-        raise ValueError(
-            f"{wav_path}: sample rate {sr} != config {cfg.data.sample_rate}"
-        )
+        # real corpora arrive at arbitrary rates — resample on load, like
+        # the reference family's data-prep resample step (VERDICT r1 item 4)
+        from shallow_wavenet_tpu.data.audio_io import resample
+
+        log.info("%s: resampling %d -> %d Hz", wav_path, sr,
+                 cfg.data.sample_rate)
+        wav = resample(wav, sr, cfg.data.sample_rate)
+        sr = cfg.data.sample_rate
     if cfg.data.highpass_cutoff > 0:
         from shallow_wavenet_tpu.ops.filters import highpass
 

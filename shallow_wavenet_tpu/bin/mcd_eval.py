@@ -97,8 +97,8 @@ def main(argv=None):
         if not gen_path.exists():
             log.warning("missing generated wav: %s", gen_path)
             continue
-        ref, _ = read_wav(wp)
-        gen, _ = read_wav(gen_path)
+        ref, _ = read_wav(wp, target_sr=cfg.data.sample_rate)
+        gen, _ = read_wav(gen_path, target_sr=cfg.data.sample_rate)
         m = eval_pair(ref, gen, cfg)
         per_utt[Path(wp).name] = m
         log.info("%s: MCD %.3f dB  F0-RMSE %s Hz  VUV-err %.3f  LSD %.2f dB",

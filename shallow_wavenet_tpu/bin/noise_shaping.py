@@ -84,7 +84,7 @@ def main(argv=None):
     outdir.mkdir(parents=True, exist_ok=True)
     for wp in read_file_list(args.wav_scp):
         src = Path(args.indir) / Path(wp).name if args.indir else Path(wp)
-        x, sr = read_wav(src)
+        x, sr = read_wav(src, target_sr=cfg.data.sample_rate)
         if not args.inv and cfg.data.highpass_cutoff > 0:
             from shallow_wavenet_tpu.ops.filters import highpass
 

@@ -47,6 +47,16 @@ def main(argv=None):
                    help="synthetic-corpus RNG seed (stage 0): a different "
                         "seed gives genuinely different utterances, e.g. "
                         "as the target data of an --init-from fine-tune")
+    p.add_argument("--corpus-style", default="harmonic",
+                   choices=("harmonic", "speechlike"),
+                   help="synthetic-corpus style (stage 0): 'speechlike' "
+                        "adds F0 glides, unvoiced bursts and silence")
+    p.add_argument("--wav-dir", default=None,
+                   help="stage 0: ingest an EXTERNAL corpus — every *.wav "
+                        "under this directory (recursive; any PCM "
+                        "width/rate/channels — resampled and downmixed on "
+                        "load) is deterministically split into train/eval "
+                        "scps instead of synthesizing a corpus")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
     setup_logging()
@@ -74,6 +84,20 @@ def main(argv=None):
         log.info("== stage 0: data prep ==")
         if train_scp.exists():
             log.info("scp lists already exist in %s — keeping", corpus)
+        elif args.wav_dir:
+            # external-corpus ingestion (VERDICT r1 item 4): deterministic
+            # sorted split — last n_eval utterances become the eval set
+            wavs = sorted(str(p) for p in Path(args.wav_dir).rglob("*.wav"))
+            if len(wavs) < 2:
+                raise SystemExit(
+                    f"--wav-dir {args.wav_dir}: need at least 2 wavs, "
+                    f"found {len(wavs)}")
+            n_eval = min(args.n_eval, len(wavs) - 1)
+            corpus.mkdir(parents=True, exist_ok=True)
+            train_scp.write_text("\n".join(wavs[:-n_eval]) + "\n")
+            eval_scp.write_text("\n".join(wavs[-n_eval:]) + "\n")
+            log.info("external corpus %s: %d train / %d eval",
+                     args.wav_dir, len(wavs) - n_eval, n_eval)
         else:
             from shallow_wavenet_tpu.data.synthetic import make_corpus
 
@@ -81,10 +105,10 @@ def main(argv=None):
                 corpus, n_train=args.n_train, n_eval=args.n_eval,
                 sample_rate=cfg.data.sample_rate, duration_s=1.0,
                 n_speakers=max(cfg.model.n_speakers, 1),
-                seed=args.corpus_seed,
+                seed=args.corpus_seed, style=args.corpus_style,
             )
-            log.info("synthetic corpus: %d train / %d eval",
-                     args.n_train, args.n_eval)
+            log.info("synthetic corpus (%s): %d train / %d eval",
+                     args.corpus_style, args.n_train, args.n_eval)
 
     if stage_on(1):
         log.info("== stage 1: feature extraction ==")

@@ -37,12 +37,71 @@ def synth_utterance(seed: int, sample_rate: int, duration_s: float = 1.0
     return x.astype(np.float32)
 
 
+def synth_utterance_speechlike(seed: int, sample_rate: int,
+                               duration_s: float = 1.0
+                               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Harder, speech-shaped test signal (VERDICT r1 item 4): alternating
+    voiced stretches (harmonics with F0 GLIDES), unvoiced fricative-like
+    noise bursts, and true silence gaps. Returns (wav, f0_track,
+    voiced_mask) at SAMPLE resolution — the ground truth the F0-estimator
+    accuracy tests frame-average against (tests/test_f0.py)."""
+    rng = np.random.default_rng(seed)
+    n = int(sample_rate * duration_s)
+    wav = np.zeros(n, np.float64)
+    f0_track = np.zeros(n, np.float64)
+    voiced = np.zeros(n, bool)
+    t0 = 0
+    # segment sequence: voiced / unvoiced / silence with speech-ish durations
+    while t0 < n:
+        kind = rng.choice(["voiced", "unvoiced", "silence"],
+                          p=[0.6, 0.25, 0.15])
+        dur = int(rng.uniform(0.08, 0.30) * sample_rate)
+        t1 = min(t0 + dur, n)
+        seg = np.arange(t1 - t0) / sample_rate
+        if kind == "voiced" and t1 - t0 > sample_rate // 50:
+            fa = rng.uniform(90.0, 240.0)
+            fb = np.clip(fa * rng.uniform(0.7, 1.4), 80.0, 300.0)
+            f0 = fa + (fb - fa) * seg / seg[-1]          # linear glide
+            phase = 2 * np.pi * np.cumsum(f0) / sample_rate
+            x = np.zeros(t1 - t0)
+            n_harm = min(int((sample_rate / 2 - 200) / fb), 18)
+            decay = rng.uniform(0.5, 0.85)
+            for k in range(1, max(n_harm, 1) + 1):
+                x += (decay ** (k - 1) * rng.uniform(0.5, 1.0)
+                      * np.sin(k * phase + rng.uniform(0, 2 * np.pi)))
+            # onset/offset ramps (no clicks) + slow amplitude movement
+            env = np.minimum(1.0, np.minimum(seg, seg[-1] - seg)
+                             / 0.012)
+            env = env * (0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(1, 4)
+                                            * seg + rng.uniform(0, 7)))
+            x = x * env + 0.005 * rng.standard_normal(t1 - t0)
+            wav[t0:t1] = x
+            f0_track[t0:t1] = f0
+            voiced[t0:t1] = env > 0.1
+        elif kind == "unvoiced":
+            # band-passed noise burst (fricative-ish): difference filter
+            # tilts the noise toward high frequencies
+            x = rng.standard_normal(t1 - t0)
+            x = np.diff(x, prepend=0.0)
+            env = np.minimum(1.0, np.minimum(seg, seg[-1] - seg + 1e-9)
+                             / 0.01)
+            wav[t0:t1] = 0.25 * x * env
+        # silence: leave zeros
+        t0 = t1
+    peak = np.max(np.abs(wav))
+    if peak > 0:
+        wav = 0.6 * wav / peak
+    return wav.astype(np.float32), f0_track.astype(np.float32), voiced
+
+
 def make_corpus(root: str | Path, *, n_train: int = 8, n_eval: int = 2,
                 sample_rate: int = 16000, duration_s: float = 1.0,
-                seed: int = 1234, n_speakers: int = 1) -> dict[str, list[str]]:
+                seed: int = 1234, n_speakers: int = 1,
+                style: str = "harmonic") -> dict[str, list[str]]:
     """Write wavs + scp file lists under `root`. Returns {'train': [...],
     'eval': [...]} wav paths. Speaker id is seed % n_speakers (encoded in
-    the filename `spkN_uttM.wav`)."""
+    the filename `spkN_uttM.wav`). style='speechlike' writes the harder
+    glide/burst/silence corpus of synth_utterance_speechlike."""
     root = Path(root)
     lists: dict[str, list[str]] = {}
     idx = 0
@@ -50,7 +109,11 @@ def make_corpus(root: str | Path, *, n_train: int = 8, n_eval: int = 2,
         paths = []
         for _ in range(count):
             spk = idx % n_speakers
-            wav = synth_utterance(seed + idx, sample_rate, duration_s)
+            if style == "speechlike":
+                wav, _, _ = synth_utterance_speechlike(
+                    seed + idx, sample_rate, duration_s)
+            else:
+                wav = synth_utterance(seed + idx, sample_rate, duration_s)
             # stem is unique ACROSS splits: feature files are keyed by stem
             # in one shared feats dir (bin/common.feats_path_for), so a
             # train/eval stem collision would silently cross-wire waveforms

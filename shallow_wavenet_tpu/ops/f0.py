@@ -69,26 +69,39 @@ def estimate_f0(x, sample_rate: int, hop_length: int, win_length: int = 0,
 
     lags = ac[..., lag_min : lag_max + 1]
     lags_u = ac_u[..., lag_min : lag_max + 1]
-    k0 = jnp.argmax(lags, axis=-1)
-    # taper shifts the biased peak a few samples short — re-maximize the
-    # de-biased values in a +-3 window around the biased argmax
     span = lag_max - lag_min
-    offs = jnp.arange(-3, 4)
-    widx = jnp.clip(k0[..., None] + offs, 0, span)
-    wvals = jnp.take_along_axis(lags_u, widx, axis=-1)
-    k = jnp.clip(k0 + (jnp.argmax(wvals, axis=-1) - 3), 0, span)
-    peak = jnp.take_along_axis(lags_u, k[..., None], axis=-1)[..., 0]
-    # parabolic interpolation around the peak (de-biased values)
-    km1 = jnp.take_along_axis(
-        lags_u, jnp.maximum(k - 1, 0)[..., None], axis=-1)[..., 0]
-    kp1 = jnp.take_along_axis(
-        lags_u, jnp.minimum(k + 1, lag_max - lag_min)[..., None], axis=-1
-    )[..., 0]
-    denom = km1 - 2 * peak + kp1
-    delta = jnp.where(jnp.abs(denom) > 1e-9,
-                      0.5 * (km1 - kp1) / denom, 0.0)
-    delta = jnp.clip(delta, -0.5, 0.5)
+
+    def refine(j0, window=3):
+        """Re-maximize the de-biased values in a +-window around j0 (the
+        taper shifts the biased peak a few samples short), then parabolic
+        interpolation. Returns (j, value, fractional delta)."""
+        offs = jnp.arange(-window, window + 1)
+        widx = jnp.clip(j0[..., None] + offs, 0, span)
+        wvals = jnp.take_along_axis(lags_u, widx, axis=-1)
+        j = jnp.clip(j0 + (jnp.argmax(wvals, axis=-1) - window), 0, span)
+        v = jnp.take_along_axis(lags_u, j[..., None], axis=-1)[..., 0]
+        jm1 = jnp.take_along_axis(
+            lags_u, jnp.maximum(j - 1, 0)[..., None], axis=-1)[..., 0]
+        jp1 = jnp.take_along_axis(
+            lags_u, jnp.minimum(j + 1, span)[..., None], axis=-1)[..., 0]
+        denom = jm1 - 2 * v + jp1
+        delta = jnp.where(jnp.abs(denom) > 1e-9,
+                          0.5 * (jm1 - jp1) / denom, 0.0)
+        return j, v, jnp.clip(delta, -0.5, 0.5)
+
+    k, peak, delta = refine(jnp.argmax(lags, axis=-1))
     lag = lag_min + k.astype(jnp.float32) + delta
+    # octave/subharmonic guard: the autocorrelation also peaks at integer
+    # MULTIPLES of the true period, so the global max can land an octave
+    # (or a twelfth) low. If the de-biased value at ~lag/m (m = 2, 3) is
+    # nearly as high, the shorter lag is the true period — prefer it.
+    for m in (2, 3):
+        jc = jnp.round((lag_min + k) / m).astype(jnp.int32) - lag_min
+        ok = jc >= 0
+        jc_, vc, dc = refine(jnp.maximum(jc, 0), window=2)
+        better = ok & (vc >= 0.9 * peak)
+        lag_c = lag_min + jc_.astype(jnp.float32) + dc
+        lag = jnp.where(better, lag_c, lag)
     f0 = sample_rate / jnp.maximum(lag, 1.0)
 
     # voicing: autocorrelation peak clarity + frame energy floor
@@ -96,7 +109,27 @@ def estimate_f0(x, sample_rate: int, hop_length: int, win_length: int = 0,
     vuv = ((peak > threshold)
            & (energy > 1e-6)
            & (f0 >= f0_min) & (f0 <= f0_max)).astype(jnp.float32)
+    f0 = _correct_outliers(f0, vuv)
     return f0 * vuv, vuv
+
+
+def _correct_outliers(f0, vuv):
+    """Temporal continuity repair: a voiced frame whose F0 deviates > 18%
+    from the 5-frame voiced median (isolated octave flips, glide-boundary
+    frames straddling a transition) is replaced BY that median; accurate
+    frames pass through untouched, so fine accuracy is unchanged. Unvoiced
+    neighbors are excluded from the median (substituted by the center
+    value)."""
+    n = f0.shape[-1]
+    pad = [(0, 0)] * (f0.ndim - 1) + [(2, 2)]
+    fpad = jnp.pad(f0, pad, mode="edge")
+    vpad = jnp.pad(vuv, pad, mode="edge")
+    idx = np.arange(n)[:, None] + np.arange(5)[None, :]
+    w = fpad[..., idx]                      # (..., n, 5)
+    wv = vpad[..., idx]
+    center = f0[..., :, None]
+    med = jnp.median(jnp.where(wv > 0, w, center), axis=-1)
+    return jnp.where(jnp.abs(f0 - med) > 0.18 * med, med, f0)
 
 
 @functools.partial(

@@ -1,0 +1,184 @@
+"""Converged-quality parity harness: JAX vs the torch autograd twin
+(BASELINE.json:5 "MCD within 0.1 dB of the PyTorch reference"; VERDICT r1
+item 1).
+
+tests/test_train_parity_torch.py checks that the first N loss values
+track; this harness closes the rest of the fidelity contract: both
+frameworks train from the SAME flax init on the SAME batch stream for
+thousands of steps, both decode the eval set with the SAME noise stream
+(JAX: models/generate.generate_fast; torch: torch_trainref.
+generate_fast_torch), and the copy-synthesis MCDs must agree within
+0.1 dB. Every quality number in BASELINE.md is thereby anchored to an
+executable PyTorch reference rather than to the repo itself.
+
+Runable standalone for the BASELINE.md row:
+  python -m tests.convergence_parity [steps]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def build_cfg():
+    from shallow_wavenet_tpu.config import (
+        Config, DataConfig, ModelConfig, TrainConfig,
+    )
+
+    c = Config(name="convergence_parity")
+    c.model = ModelConfig(
+        n_stacks=1, stack_size=5, residual_channels=16, gate_channels=32,
+        skip_channels=24, aux_channels=16, upsample_factors=(4, 5, 4),
+        cond_channels=12, head="laplace", compute_dtype="float32",
+    )
+    c.data = DataConfig(sample_rate=8000, n_fft=256, hop_length=80,
+                        win_length=200, n_mels=16, fmax=3800.0,
+                        segment_length=800, batch_size=2)
+    # lr_decay_rate=1.0 -> constant lr: torch.optim.Adam at fixed lr is the
+    # exact twin of the optax schedule
+    c.train = TrainConfig(learning_rate=1e-3, lr_decay_rate=1.0,
+                          grad_clip_norm=10.0)
+    return c
+
+
+def build_corpus(root, cfg, n_train=6, n_eval=4):
+    """Synthetic corpus + normalized log-mel features, returns
+    (train_utts, eval_utts) as dataset.Utterance lists."""
+    from shallow_wavenet_tpu.data.audio_io import read_wav
+    from shallow_wavenet_tpu.data.dataset import Utterance
+    from shallow_wavenet_tpu.data.synthetic import make_corpus
+    from shallow_wavenet_tpu.ops.stft import log_mel_spectrogram_np
+
+    lists = make_corpus(root, n_train=n_train, n_eval=n_eval,
+                        sample_rate=cfg.data.sample_rate, duration_s=1.0)
+
+    def feats_of(path):
+        wav, sr = read_wav(path)
+        n_frames = len(wav) // cfg.data.hop_length
+        mel = log_mel_spectrogram_np(
+            wav, sr, cfg.data.n_fft, cfg.data.hop_length,
+            cfg.data.win_length, cfg.data.n_mels, cfg.data.fmin,
+            cfg.data.fmax)[:n_frames]
+        return wav, mel.astype(np.float32)
+
+    raw = {split: [feats_of(p) for p in lists[split]]
+           for split in ("train", "eval")}
+    train_feats = np.concatenate([f for _, f in raw["train"]])
+    mean = train_feats.mean(axis=0)
+    std = np.maximum(train_feats.std(axis=0), 1e-8)
+    out = {}
+    for split in ("train", "eval"):
+        out[split] = [Utterance(wav=w.astype(np.float32),
+                                feats=(f - mean) / std)
+                      for w, f in raw[split]]
+    return out["train"], out["eval"]
+
+
+def decode_mcds(cfg, eval_utts, gen_jax, gen_torch):
+    """Copy-synthesis MCD of each framework's decodes vs the references."""
+    import jax.numpy as jnp
+
+    from shallow_wavenet_tpu.ops.mcep import mcd, mcep_analysis
+
+    def mcd_of(ref, gen):
+        n = min(len(ref), len(gen))
+        a = mcep_analysis(jnp.asarray(ref[:n]), cfg.data.n_fft,
+                          cfg.data.hop_length, cfg.data.win_length,
+                          cfg.noise_shaping.mcep_order,
+                          cfg.noise_shaping.alpha)
+        b = mcep_analysis(jnp.asarray(gen[:n]), cfg.data.n_fft,
+                          cfg.data.hop_length, cfg.data.win_length,
+                          cfg.noise_shaping.mcep_order,
+                          cfg.noise_shaping.alpha)
+        return float(mcd(a, b))
+
+    mj = float(np.mean([mcd_of(u.wav, g)
+                        for u, g in zip(eval_utts, gen_jax)]))
+    mt = float(np.mean([mcd_of(u.wav, g)
+                        for u, g in zip(eval_utts, gen_torch)]))
+    return mj, mt
+
+
+def run_parity(root, steps=2000, seed=0, log=print):
+    """Train both frameworks, decode both, return (mcd_jax, mcd_torch,
+    jax_losses, torch_losses)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from shallow_wavenet_tpu.data.dataset import SegmentSampler
+    from shallow_wavenet_tpu.models.generate import generate_fast
+    from shallow_wavenet_tpu.models.wavenet import extract_plain_params
+    from shallow_wavenet_tpu.training import Trainer
+
+    from tests import torch_trainref as ttr
+
+    cfg = build_cfg()
+    train_utts, eval_utts = build_corpus(root, cfg)
+    sampler = SegmentSampler(
+        train_utts, batch_size=cfg.data.batch_size,
+        segment_length=cfg.data.segment_length,
+        hop_length=cfg.data.hop_length,
+        receptive_field=cfg.model.receptive_field, seed=seed)
+    batches = [next(sampler) for _ in range(steps)]
+    for b in batches:
+        b.pop("speaker", None)
+
+    trainer = Trainer(cfg, mesh=None)
+    state = trainer.init_state()
+    jax_losses = []
+    for i, b in enumerate(batches):
+        state, metrics = trainer.step_fn(state, b)
+        if (i + 1) % 500 == 0:
+            log(f"  jax step {i + 1}: loss {float(metrics['loss']):.4f}")
+        jax_losses.append(float(metrics["loss"]))
+
+    tp = ttr.params_to_torch(trainer.init_state().params)
+    torch_losses = []
+    chunk = 500
+    for s in range(0, steps, chunk):
+        torch_losses += ttr.train_steps(
+            tp, cfg.model, cfg.data.segment_length, batches[s:s + chunk],
+            lr=cfg.train.learning_rate, clip_norm=cfg.train.grad_clip_norm)
+        log(f"  torch step {min(s + chunk, steps)}: "
+            f"loss {torch_losses[-1]:.4f}")
+
+    # decode the eval set with ONE shared noise stream per utterance
+    rng = np.random.default_rng(1234)
+    variables = {"params": state.params}
+    pp = extract_plain_params(variables, cfg.model)
+    model = trainer.model
+    gen_jax, gen_torch = [], []
+    for u in eval_utts:
+        cond = jnp.asarray(u.feats[None])
+        c_up = model.apply(variables, cond, method="upsample_cond")
+        T = c_up.shape[1]
+        noise = rng.uniform(1e-7, 1 - 1e-7, (1, T)).astype(np.float32)
+        wav_j = np.asarray(generate_fast(pp, cfg.model, c_up,
+                                         jax.random.key(0),
+                                         noise=jnp.asarray(noise)))[0]
+        with torch.no_grad():
+            c_up_t = ttr.upsample_cond(tp, cfg.model,
+                                       torch.from_numpy(u.feats[None]))
+        wav_t = ttr.generate_fast_torch(tp, cfg.model, c_up_t,
+                                        torch.from_numpy(noise))[0]
+        gen_jax.append(wav_j)
+        gen_torch.append(wav_t)
+
+    mj, mt = decode_mcds(cfg, eval_utts, gen_jax, gen_torch)
+    return mj, mt, jax_losses, torch_losses
+
+
+if __name__ == "__main__":
+    import sys
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    with tempfile.TemporaryDirectory() as root:
+        mj, mt, jl, tl = run_parity(root, steps=steps)
+    print(f"steps={steps}: MCD jax {mj:.3f} dB, torch {mt:.3f} dB, "
+          f"|delta| {abs(mj - mt):.3f} dB; "
+          f"final loss jax {jl[-1]:.4f} torch {tl[-1]:.4f}")

@@ -112,3 +112,85 @@ def test_make_corpus_seed_changes_content(tmp_path):
     wc, _ = read_wav(c["train"][0])
     assert not np.array_equal(wa, wb)
     np.testing.assert_array_equal(wa, wc)
+
+
+def _write_raw_wav(path, frames: bytes, *, ch: int, sw: int, sr: int):
+    import wave
+
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(sw)
+        w.setframerate(sr)
+        w.writeframes(frames)
+
+
+def test_read_wav_24bit(tmp_path):
+    """24-bit PCM, incl. negative values and both extremes."""
+    vals = np.array([0, 1, -1, 8388607, -8388608, 4194304], np.int64)
+    raw = b"".join(int(v).to_bytes(3, "little", signed=True) for v in vals)
+    p = tmp_path / "w24.wav"
+    _write_raw_wav(p, raw, ch=1, sw=3, sr=16000)
+    x, sr = read_wav(p)
+    np.testing.assert_allclose(x, vals / 8388607.0, atol=2e-7)
+    assert sr == 16000
+
+
+def test_read_wav_8_and_32bit(tmp_path):
+    p8 = tmp_path / "w8.wav"
+    _write_raw_wav(p8, bytes([128, 255, 0, 192]), ch=1, sw=1, sr=8000)
+    x, _ = read_wav(p8)
+    np.testing.assert_allclose(x, [0.0, 1.0, -128 / 127.0, 64 / 127.0],
+                               atol=1e-6)
+    vals = np.array([0, 2147483647, -2147483648], "<i4")
+    p32 = tmp_path / "w32.wav"
+    _write_raw_wav(p32, vals.tobytes(), ch=1, sw=4, sr=8000)
+    x, _ = read_wav(p32)
+    np.testing.assert_allclose(x, vals / 2147483647.0, atol=1e-6)
+
+
+def test_read_wav_stereo_downmix(tmp_path):
+    left = np.array([10000, -10000, 0], "<i2")
+    right = np.array([20000, 10000, 0], "<i2")
+    inter = np.stack([left, right], axis=1).reshape(-1)
+    p = tmp_path / "st.wav"
+    _write_raw_wav(p, inter.tobytes(), ch=2, sw=2, sr=16000)
+    x, _ = read_wav(p)
+    np.testing.assert_allclose(x, (left + right) / 2 / 32767.0, atol=1e-6)
+
+
+def test_read_wav_resample_on_load(tmp_path):
+    """A 440 Hz tone at 48 kHz read with target_sr=16000 keeps its
+    frequency and amplitude (polyphase resampler sanity)."""
+    from shallow_wavenet_tpu.data.audio_io import resample
+
+    sr_in, sr_out, f = 48000, 16000, 440.0
+    t = np.arange(sr_in) / sr_in
+    tone = (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+    p = tmp_path / "tone48k.wav"
+    write_wav(p, tone, sr_in)
+    x, sr = read_wav(p, target_sr=sr_out)
+    assert sr == sr_out and len(x) == sr_out
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    assert abs(np.argmax(spec) - f) <= 1          # 1 Hz bins
+    mid = x[2000:-2000]
+    np.testing.assert_allclose(np.max(np.abs(mid)), 0.5, atol=0.01)
+    # identity when rates already match
+    y = resample(tone, sr_in, sr_in)
+    np.testing.assert_array_equal(y, tone)
+
+
+def test_speechlike_corpus(tmp_path):
+    """The harder corpus style: has silence, voiced and unvoiced regions,
+    and a sample-resolution F0 ground-truth track."""
+    from shallow_wavenet_tpu.data.synthetic import synth_utterance_speechlike
+
+    wav, f0, voiced = synth_utterance_speechlike(7, 16000, duration_s=2.0)
+    assert wav.shape == f0.shape == voiced.shape == (32000,)
+    assert voiced.any() and (~voiced).any()
+    assert (f0[voiced] >= 80.0).all() and (f0[voiced] <= 300.0).all()
+    # silence really present: some all-quiet stretch outside voiced regions
+    frame = np.abs(wav.reshape(-1, 160)).max(axis=1)
+    assert (frame < 1e-4).any()
+    lists = make_corpus(tmp_path, n_train=2, n_eval=1, sample_rate=8000,
+                        style="speechlike")
+    assert len(lists["train"]) == 2

@@ -86,3 +86,20 @@ def test_world_features_native_matches_extract_one(wav, tmp_path):
     assert np.mean(~agree) < 0.02
     np.testing.assert_allclose(feats_nat[agree], feats_jax[agree],
                                atol=2e-4)
+
+
+def test_f0_native_matches_jax_on_stressed_signal():
+    """The octave-guard + continuity-repair paths must also agree: a
+    high-passed speech-like signal (missing fundamental) drives both
+    twins through the guard branches (VERDICT r1 item 5)."""
+    from shallow_wavenet_tpu.data.synthetic import synth_utterance_speechlike
+    from shallow_wavenet_tpu.ops.filters import highpass
+
+    wav, _, _ = synth_utterance_speechlike(1, SR, 2.0)
+    wav = np.asarray(highpass(wav, SR, 400.0), np.float32)
+    f0_j, vuv_j = map(np.asarray, estimate_f0(jnp.asarray(wav), SR, HOP))
+    f0_n, vuv_n = nat.f0_native(wav, SR, HOP)
+    assert np.mean(vuv_j != vuv_n) < 0.02
+    both = (vuv_j > 0) & (vuv_n > 0)
+    assert both.sum() > 50
+    np.testing.assert_allclose(f0_n[both], f0_j[both], rtol=1e-3)

@@ -94,6 +94,65 @@ def test_decode_dp_cli(tmp_path):
     assert dp == single
 
 
+def test_recipe_external_corpus(tmp_path):
+    """Stage 0 `--wav-dir` ingestion of a messy EXTERNAL corpus (VERDICT r1
+    item 4): mixed sample rates, 24-bit and stereo wavs, mixed lengths, one
+    silence-heavy utterance — all resampled/downmixed on load, driven
+    through the full 7-stage pipeline."""
+    import wave
+
+    import numpy as np
+
+    from shallow_wavenet_tpu.data.synthetic import synth_utterance
+
+    ext = tmp_path / "external"
+    ext.mkdir()
+
+    def put(name, x, sr, ch=1, sw=2):
+        x = np.asarray(x, np.float64)
+        if ch == 2:
+            x = np.stack([x, 0.5 * x], axis=1).reshape(-1)
+        scale = {2: 32767, 3: 8388607}[sw]
+        q = np.clip(np.round(x * scale), -scale - 1, scale).astype(np.int64)
+        if sw == 2:
+            frames = q.astype("<i2").tobytes()
+        else:
+            frames = b"".join(int(v).to_bytes(3, "little", signed=True)
+                              for v in q)
+        with wave.open(str(ext / name), "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(sw)
+            w.setframerate(sr)
+            w.writeframes(frames)
+
+    put("a_24bit_22k.wav", synth_utterance(1, 22050, 1.3), 22050, sw=3)
+    put("b_stereo_16k.wav", synth_utterance(2, 16000, 0.9), 16000, ch=2)
+    put("c_8k.wav", synth_utterance(3, 8000, 1.1), 8000)
+    silence = np.zeros(12000)
+    silence[4000:6000] = synth_utterance(4, 8000, 0.25)[:2000]
+    put("d_silence_heavy.wav", silence, 8000)
+    put("e_eval_11k.wav", synth_utterance(5, 11025, 1.0), 11025)
+
+    run_cli.main([
+        "--preset", "shallow_softmax_single", "--workdir", str(tmp_path),
+        "--stage", "0", "--stop-stage", "6", "--steps", "5",
+        "--wav-dir", str(ext), "--n-eval", "1", *TINY,
+    ])
+    train_list = (tmp_path / "corpus/train.scp").read_text().split()
+    assert len(train_list) == 4
+    # every utterance produced features at the CONFIG rate geometry
+    mcd = json.loads((tmp_path / "mcd.json").read_text())
+    assert np.isfinite(mcd["mcd_db_mean"])
+    gen = list((tmp_path / "gen_wav").glob("*.wav"))
+    assert [p.name for p in gen] == ["e_eval_11k.wav"]
+    # generated audio length matches the RESAMPLED (8 kHz) duration
+    import wave as _w
+
+    with _w.open(str(gen[0]), "rb") as w:
+        assert abs(w.getnframes() - 8000) <= 80 * 2   # ~1.0 s at 8 kHz
+        assert w.getframerate() == 8000
+
+
 def test_recipe_stage_resume(tmp_path):
     """--stage N resumes mid-pipeline (SURVEY.md §5.3)."""
     run_stages(tmp_path, "shallow_softmax_single", stages=(0, 2))

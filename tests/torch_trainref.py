@@ -121,6 +121,78 @@ def loss_fn(tp, cfg, seg_len, x, cond, speaker=None,
     return (nll * mask).sum() / mask.sum().clamp(min=1.0)
 
 
+@torch.no_grad()
+def generate_fast_torch(tp, cfg, c_up, noise) -> np.ndarray:
+    """Queue-cached AR decoder — the torch twin of
+    models/generate.generate_fast with an explicit shared noise stream
+    (fast-WaveNet per-layer ring buffers; O(layers) per output sample).
+    c_up (B, T, C) torch tensor from upsample_cond; noise (B, T) uniforms
+    in (0, 1). Returns (B, T) float32 numpy. With identical params and
+    noise this tracks the JAX decoder to fp32 tolerance — the decoder half
+    of the converged-quality parity harness
+    (tests/test_convergence_parity_torch.py)."""
+    B, T, _ = c_up.shape
+    L = len(cfg.dilations)
+    D = int(max(cfg.dilations))
+    R = cfg.residual_channels
+    half = cfg.gate_channels // 2
+    bufs = torch.zeros(L, B, D, R)
+    layers = []
+    for li in range(L):
+        lp = tp[f"layer{li}"]
+        layers.append((lp["conv"]["kernel"], lp["conv"]["bias"],
+                       lp["cond"]["kernel"], lp["res"]["kernel"],
+                       lp["res"]["bias"], lp["skip"]["kernel"],
+                       lp["skip"]["bias"], cfg.dilations[li]))
+    if cfg.head == "softmax":
+        from shallow_wavenet_tpu.ops.mulaw import mulaw_quantize
+
+        x_prev = torch.full((B,), int(np.asarray(
+            mulaw_quantize(0.0, cfg.quantize_channels))), dtype=torch.long)
+    else:
+        x_prev = torch.zeros(B)
+    wav = torch.zeros(B, T)
+    for t in range(T):
+        c_t = c_up[:, t]
+        if cfg.head == "softmax":
+            h = tp["input_embed"]["embedding"][x_prev]
+        else:
+            h = x_prev[:, None] @ tp["input_proj"]["kernel"] \
+                + tp["input_proj"]["bias"]
+        skip = torch.zeros(B, cfg.skip_channels)
+        for li, (cw, cb, vw, rw, rb, sw, sb, d) in enumerate(layers):
+            h_prev = bufs[li, :, (t - d) % D]
+            u = (h_prev @ cw[0] + h @ cw[1]) + cb + c_t @ vw
+            z = torch.tanh(u[:, :half]) * torch.sigmoid(u[:, half:])
+            bufs[li, :, t % D] = h
+            h = h + (z @ rw + rb)
+            skip = skip + (z @ sw + sb)
+        o = F.relu(skip)
+        o = F.relu(o @ tp["head1"]["kernel"] + tp["head1"]["bias"])
+        o = o @ tp["head2"]["kernel"] + tp["head2"]["bias"]
+        if cfg.head == "softmax":
+            from shallow_wavenet_tpu.ops.mulaw import mulaw_dequantize
+
+            p = torch.softmax(o, dim=-1)
+            cdf = torch.cumsum(p, dim=-1)
+            ids = (cdf < noise[:, t, None]).sum(dim=-1).clamp(
+                0, cfg.quantize_channels - 1)
+            wav[:, t] = torch.from_numpy(np.asarray(
+                mulaw_dequantize(ids.numpy().astype(np.int32),
+                                 cfg.quantize_channels)))
+            x_prev = ids
+        else:
+            mu = o[:, 0]
+            log_b = torch.clamp(o[:, 1], cfg.log_b_min, cfg.log_b_max)
+            u = noise[:, t] - 0.5
+            x = mu - torch.exp(log_b) * torch.sign(u) * torch.log1p(
+                -2.0 * torch.abs(u))
+            x = torch.clamp(x, -1.0, 1.0)
+            wav[:, t] = x
+            x_prev = x
+    return wav.numpy()
+
+
 def train_steps(tp, cfg, seg_len, batches, lr, clip_norm,
                 quantize=None) -> list[float]:
     """Adam + global-norm clip over the given batches; returns the per-step
