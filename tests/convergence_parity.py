@@ -26,8 +26,10 @@ def build_cfg():
     )
 
     c = Config(name="convergence_parity")
+    # rf must exceed the corpus's longest pitch period (~89 samples at
+    # 8 kHz for 90 Hz F0): stack_size=7 -> dilations 1..64, rf 127
     c.model = ModelConfig(
-        n_stacks=1, stack_size=5, residual_channels=16, gate_channels=32,
+        n_stacks=1, stack_size=7, residual_channels=16, gate_channels=32,
         skip_channels=24, aux_channels=16, upsample_factors=(4, 5, 4),
         cond_channels=12, head="laplace", compute_dtype="float32",
     )

@@ -1,0 +1,66 @@
+"""Converged-quality parity vs the torch twin (BASELINE.json:5 "MCD
+within 0.1 dB of the PyTorch reference"; VERDICT r1 item 1).
+
+Two tiers:
+- the decoder-parity test always runs: with shared params and a shared
+  noise stream, the torch queue-cached AR decoder and the JAX one must
+  produce the same waveform to fp32 tolerance — the generation halves of
+  the two frameworks are the same function.
+- the full train-to-convergence comparison (hours of CPU) is opt-in via
+  SWT_RUN_CONVERGENCE=1; its measured result is recorded in BASELINE.md
+  ("JAX vs torch twin" row) and reproducible with
+  `python -m tests.convergence_parity <steps>`.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.convergence_parity import build_cfg, run_parity
+
+
+def test_torch_decoder_matches_jax_decoder():
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from shallow_wavenet_tpu.models import WaveNet, extract_plain_params
+    from shallow_wavenet_tpu.models.generate import generate_fast
+    from tests import torch_trainref as ttr
+
+    cfg = build_cfg()
+    mc = cfg.model
+    model = WaveNet(mc)
+    rng = np.random.default_rng(0)
+    hop = int(np.prod(mc.upsample_factors))
+    x0 = jnp.asarray(rng.uniform(-1, 1, (1, 2 * hop - 1)), jnp.float32)
+    c0 = jnp.asarray(rng.standard_normal((1, 2, mc.aux_channels)),
+                     jnp.float32)
+    variables = model.init(jax.random.key(0), x0, c0)
+    pp = extract_plain_params(variables, mc)
+
+    B, F = 2, 10
+    cond = rng.standard_normal((B, F, mc.aux_channels)).astype(np.float32)
+    c_up = model.apply(variables, jnp.asarray(cond), method="upsample_cond")
+    T = c_up.shape[1]
+    noise = rng.uniform(1e-7, 1 - 1e-7, (B, T)).astype(np.float32)
+    wav_j = np.asarray(generate_fast(pp, mc, c_up, jax.random.key(0),
+                                     noise=jnp.asarray(noise)))
+    tp = ttr.params_to_torch(variables["params"])
+    with torch.no_grad():
+        c_up_t = ttr.upsample_cond(tp, mc, torch.from_numpy(cond))
+    wav_t = ttr.generate_fast_torch(tp, mc, c_up_t, torch.from_numpy(noise))
+    np.testing.assert_allclose(wav_t, wav_j, atol=2e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get("SWT_RUN_CONVERGENCE"),
+                    reason="hours of CPU — set SWT_RUN_CONVERGENCE=1; "
+                           "measured result recorded in BASELINE.md")
+def test_converged_quality_within_contract(tmp_path):
+    steps = int(os.environ.get("SWT_CONVERGENCE_STEPS", "15000"))
+    mj, mt, jl, tl = run_parity(tmp_path, steps=steps)
+    # both frameworks converged (well past the random-init ~13 dB regime)
+    assert mj < 8.0 and mt < 8.0, (mj, mt)
+    assert abs(mj - mt) <= 0.1, f"MCD jax {mj:.3f} vs torch {mt:.3f}"
