@@ -60,7 +60,7 @@ def _prep_fn(model):
 
 def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
                  segment_samples: int = 0, kernel_dtype: str = "auto",
-                 mesh=None):
+                 mesh=None, fused: int = 0):
     """Generate one padded batch; returns list of trimmed waveforms.
     segment_samples > 0 decodes in bounded segments with teacher-forced
     warm-starts (bit-exact; SURVEY.md §5.7 long-utterance mechanism).
@@ -89,7 +89,8 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
                              "exclusive (the DP path shards whole "
                              "utterances over chips)")
         return _decode_batch_dp(trainer, state, cfg, utts, cond, n_samples,
-                                key, mesh, use_pallas, kernel_dtype)
+                                key, mesh, use_pallas, kernel_dtype,
+                                fused=fused)
     if segment_samples > 0:
         # validate up front: inside the tier loop a ValueError would be
         # mistaken for a compile failure and silently drop to the slow path
@@ -147,7 +148,7 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
             if kernel_dtype != "auto" and dt != kernel_dtype:
                 continue
             if not probe_pallas(cfg.model, batch=B, chunk=chunk, dtype=dt,
-                                stream=strm):
+                                stream=strm, fused=fused):
                 continue
             try:
                 if segment_samples > 0:
@@ -155,11 +156,12 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
                     # only one segment of conditioning at a time
                     wav = np.asarray(generate_segmented(
                         pp, cfg.model, c_up, noise,
-                        segment_samples, chunk=chunk, dtype=dt, stream=strm))
+                        segment_samples, chunk=chunk, dtype=dt, stream=strm,
+                        fused=fused))
                 else:
                     wav = np.asarray(generate_pallas(
                         pp, cfg.model, c_up, noise=noise, chunk=chunk,
-                        dtype=dt, stream=strm))
+                        dtype=dt, stream=strm, fused=fused))
                 break
             except Exception as e:  # compile limit at this (B, T) — next
                 # tier. Include the error: a REAL bug (not a Mosaic VMEM/
@@ -183,7 +185,7 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
 
 
 def _decode_batch_dp(trainer, state, cfg: Config, utts, cond, n_samples,
-                     key, mesh, use_pallas, kernel_dtype):
+                     key, mesh, use_pallas, kernel_dtype, fused: int = 0):
     """DP generation over a ('data',) mesh (BASELINE.json:10): the padded
     utterance batch is row-padded to a multiple of the mesh size (repeating
     the last row — the extra rows are discarded after trimming) and routed
@@ -230,12 +232,12 @@ def _decode_batch_dp(trainer, state, cfg: Config, utts, cond, n_samples,
             if kernel_dtype != "auto" and dt != kernel_dtype:
                 continue
             if not probe_pallas(cfg.model, batch=per_dev, chunk=64,
-                                dtype=dt, stream=strm):
+                                dtype=dt, stream=strm, fused=fused):
                 continue
             try:
                 wav = np.asarray(generate_dp(
                     pp, cfg.model, c_up, noise, mesh, use_pallas=True,
-                    chunk=64, stream=strm, dtype=dt))
+                    chunk=64, stream=strm, dtype=dt, fused=fused))
                 break
             except Exception as e:  # noqa: BLE001 — Mosaic frontier; next tier
                 log.warning("dp pallas %s%s failed at B/dev=%d T=%d (%s: "
@@ -295,6 +297,11 @@ def main(argv=None):
                         "(('data',) mesh, params replicated, Pallas kernel "
                         "per device — BASELINE config 4). Sample-identical "
                         "to single-device decode with the same --seed")
+    p.add_argument("--fused", type=int, default=0,
+                   help="fused-window size W for the Pallas kernel (0 = "
+                        "off): shortens the per-sample matmul chain — "
+                        "faster at small/medium batch, NOT bit-exact vs "
+                        "the default kernel (see ops/ar_kernel.py)")
     p.add_argument("--kernel-dtype", default="auto",
                    choices=("auto", "float32", "bfloat16"),
                    help="restrict the Pallas backend to one weight dtype "
@@ -341,7 +348,7 @@ def main(argv=None):
                                 jax.random.fold_in(key, i),
                                 segment_samples=args.segment_samples,
                                 kernel_dtype=args.kernel_dtype,
-                                mesh=mesh)
+                                mesh=mesh, fused=args.fused)
             wall = time.time() - t0
             audio_s = sum(len(w) for w in wavs) / cfg.data.sample_rate
             total_audio_s += audio_s

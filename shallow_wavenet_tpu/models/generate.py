@@ -137,7 +137,8 @@ def generate_fast(pp: dict, cfg: ModelConfig, c_up, key, mode: str = "sample",
 def generate_dp(pp: dict, cfg: ModelConfig, c_up, noise, mesh,
                 mode: str = "sample", use_pallas: bool = False,
                 chunk: int = 512, stream: bool = False,
-                dtype: str = "float32", interpret: bool = False):
+                dtype: str = "float32", interpret: bool = False,
+                fused: int = 0):
     """Batched AR generation sharded over chips (BASELINE config 4;
     SURVEY.md §2.2 DP row): shard_map over the ('data',) mesh — each device
     generates its own utterance shard with the queue-cached step (Pallas
@@ -160,7 +161,7 @@ def generate_dp(pp: dict, cfg: ModelConfig, c_up, noise, mesh,
 
             return generate_pallas(pp_, cfg, c_up_, mode=mode, noise=noise_,
                                    chunk=chunk, stream=stream, dtype=dtype,
-                                   interpret=interpret)
+                                   interpret=interpret, fused=fused)
         return generate_fast(pp_, cfg, c_up_, jax.random.key(0), mode,
                              noise=noise_)
 
@@ -178,7 +179,7 @@ def generate_dp(pp: dict, cfg: ModelConfig, c_up, noise, mesh,
 def generate_segmented(pp: dict, cfg: ModelConfig, c_up, noise,
                        seg_len: int, chunk: int = 64,
                        dtype: str = "float32", stream: bool = False,
-                       interpret: bool = False):
+                       interpret: bool = False, fused: int = 0):
     """Chunked-conditioning-stream generation (SURVEY.md §5.7): synthesize
     an arbitrarily long utterance batch in fixed-size segments so the
     Pallas kernel's streamed inputs (upsampled conditioning, noise) never
@@ -221,7 +222,7 @@ def generate_segmented(pp: dict, cfg: ModelConfig, c_up, noise,
             wav = generate_pallas(pp, cfg, jnp.asarray(c_up[:, :e]),
                                   noise=jnp.asarray(noise[:, :e]),
                                   chunk=chunk, dtype=dtype, stream=stream,
-                                  interpret=interpret)
+                                  interpret=interpret, fused=fused)
             segs.append(wav)
             continue
         # the call spans global samples [s - M, e): local step t emits
@@ -240,7 +241,7 @@ def generate_segmented(pp: dict, cfg: ModelConfig, c_up, noise,
                               noise=jnp.asarray(noise[:, s - M: e]),
                               chunk=chunk, dtype=dtype, stream=stream,
                               warmup=M, teacher=teacher,
-                              interpret=interpret)
+                              interpret=interpret, fused=fused)
         segs.append(wav[:, M:])
     return jnp.concatenate(segs, axis=1)
 

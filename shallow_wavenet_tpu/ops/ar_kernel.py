@@ -74,6 +74,18 @@ def _skip_pad(s: int) -> int:
     return -(-s // 128) * 128
 
 
+def _res_pad(r: int) -> int:
+    """Lane-align the res half of the fused-window projection so the
+    within-block gate-correction region starts on a 128-lane boundary."""
+    return -(-r // 128) * 128
+
+
+def _fused_blocks(n_layers: int, fused: int):
+    """Contiguous layer windows for the fused residual-expansion kernel."""
+    return tuple(tuple(range(b, min(b + fused, n_layers)))
+                 for b in range(0, n_layers, fused))
+
+
 def warmup_length(cfg: ModelConfig, chunk: int = 64) -> int:
     """Teacher-forced warm-start length for segmented generation:
     sum(dilations) + 1 (every layer's correctness horizon) rounded up to a
@@ -96,12 +108,15 @@ def _stream_split(dilations, chunk: int, stream: bool):
 
 
 def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
-                        dtype: str = "float32", stream: bool = False) -> int:
+                        dtype: str = "float32", stream: bool = False,
+                        fused: int = 0) -> int:
     """VMEM footprint: resident weights (lane-padded gate width, at the
     kernel weight dtype) + exact-size ring buffers + streamed
     cond/noise/out blocks (fp32, double-buffered by the pipeline).
     With stream=True, large-dilation ring buffers live in HBM and only a
-    (chunk, B, R) window per streamed layer counts against VMEM."""
+    (chunk, B, R) window per streamed layer counts against VMEM.
+    With fused=W, the per-layer skip|res projection widens by the
+    within-block gate-correction columns (rem * 2gp per layer)."""
     wb = 2 if dtype == "bfloat16" else 4
     L = len(cfg.dilations)
     res_ids, strm_ids = _stream_split(cfg.dilations, chunk, stream)
@@ -113,6 +128,13 @@ def vmem_bytes_estimate(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
          + S * S + S * Q)
     if cfg.head == "softmax":
         w += Q * R
+    if fused:
+        # fm widths: (sp + rp + rem*2gp) replaces (sp + R) per layer
+        extra = L * gp * (_res_pad(R) - R)
+        for blk in _fused_blocks(L, fused):
+            for k in range(len(blk)):
+                extra += gp * (len(blk) - 1 - k) * 2 * gp
+        w += extra
     bufs = (sum_d + 1) * batch * R   # ring buffers + encoded-feedback carry
     bufs += len(strm_ids) * chunk * batch * R      # HBM ring windows
     cond_blk = 2 * chunk * batch * C           # streamed at the weight dtype
@@ -137,7 +159,8 @@ _VMEM_HW_BYTES = 128 * 1024 * 1024
 
 
 def pallas_supported(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
-                     dtype: str = "float32", stream: bool = False) -> bool:
+                     dtype: str = "float32", stream: bool = False,
+                     fused: int = 0) -> bool:
     """The kernel covers both heads, kernel_size 2, power-of-two dilations
     (true for 2**i schedules), and models whose weights + ring buffers fit
     the VMEM budget at the ACTUAL generation batch/chunk. Callers must pass
@@ -151,21 +174,22 @@ def pallas_supported(cfg: ModelConfig, batch: int = 8, chunk: int = 512,
     `probe_pallas`, which try-compiles one chunk and caches the verdict."""
     return (cfg.kernel_size == 2
             and all(d & (d - 1) == 0 for d in cfg.dilations)
-            and vmem_bytes_estimate(cfg, batch, chunk, dtype,
-                                    stream) <= _VMEM_BUDGET)
+            and vmem_bytes_estimate(cfg, batch, chunk, dtype, stream,
+                                    fused) <= _VMEM_BUDGET)
 
 
 _PROBE_CACHE: dict = {}
 
 
 def probe_pallas(cfg: ModelConfig, batch: int, chunk: int = 64,
-                 dtype: str = "float32", stream: bool = False) -> bool:
+                 dtype: str = "float32", stream: bool = False,
+                 fused: int = 0) -> bool:
     """Empirical support check: compile + run the kernel on ONE chunk of
     zeros at the real (batch, chunk, dtype). Catches the Mosaic compile
     failures `pallas_supported`'s byte estimate cannot predict. The verdict
-    is cached per (config, batch, chunk, dtype, stream); the probe costs one
-    small compile (~seconds) the first time, nothing after."""
-    key = (cfg, batch, chunk, dtype, stream)
+    is cached per (config, batch, chunk, dtype, stream, fused); the probe
+    costs one small compile (~seconds) the first time, nothing after."""
+    key = (cfg, batch, chunk, dtype, stream, fused)
     hit = _PROBE_CACHE.get(key)
     if hit is not None:
         return hit
@@ -174,7 +198,7 @@ def probe_pallas(cfg: ModelConfig, batch: int, chunk: int = 64,
         # tier ladder already tried — don't pay a second probe compile
         _PROBE_CACHE[key] = False
         return False
-    if not pallas_supported(cfg, batch, chunk, dtype, stream):
+    if not pallas_supported(cfg, batch, chunk, dtype, stream, fused):
         _PROBE_CACHE[key] = False
         return False
     try:
@@ -182,7 +206,8 @@ def probe_pallas(cfg: ModelConfig, batch: int, chunk: int = 64,
         c = jnp.zeros((batch, chunk, cfg.cond_channels), jnp.float32)
         noise = jnp.full((batch, chunk), 0.5, jnp.float32)
         generate_pallas(pp, cfg, c, noise=noise, chunk=chunk,
-                        dtype=dtype, stream=stream).block_until_ready()
+                        dtype=dtype, stream=stream,
+                        fused=fused).block_until_ready()
         ok = True
     except Exception:  # Mosaic/XLA compile errors surface as RuntimeError
         ok = False
@@ -220,7 +245,7 @@ def _zero_params(cfg: ModelConfig) -> dict:
 
 def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
                  use_teacher: bool, wdt, strm_ids=(), warmup: int = 0,
-                 unroll: int = 1):
+                 unroll: int = 1, fused_blocks=()):
     L = len(cfg.dilations)
     dil = cfg.dilations
     res_ids = tuple(l for l in range(L) if l not in strm_ids)
@@ -246,6 +271,7 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
 
     R = cfg.residual_channels
     sp = _skip_pad(S)
+    rp = _res_pad(R)
 
     def kernel(*refs):
         n_tail = 3 + (4 if strm_ids else 0)
@@ -253,8 +279,15 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
             (cond_ref, noise_ref, teacher_ref, *wrefs) = refs[:-n_tail]
         else:
             (cond_ref, noise_ref, *wrefs) = refs[:-n_tail]
-        (in_w, in_b, conv_w, conv_b, cond_wcat, rs_w, rs_b,
-         h1_w, h1_b, h2_w, h2_b) = wrefs
+        if fused_blocks:
+            (in_w, in_b, conv_w0, conv_b, cond_wcat, rs_b,
+             h1_w, h1_b, h2_w, h2_b) = wrefs[:10]
+            nb_blk = len(fused_blocks)
+            w1cat = wrefs[10:10 + nb_blk]
+            fm = wrefs[10 + nb_blk:10 + nb_blk + L]
+        else:
+            (in_w, in_b, conv_w, conv_b, cond_wcat, rs_w, rs_b,
+             h1_w, h1_b, h2_w, h2_b) = wrefs
         if strm_ids:
             (out_ref, hbm_ref, bufs, fb_ref, win, lsem, ssem) = refs[-7:]
         else:
@@ -332,38 +365,94 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
                          preferred_element_type=jnp.float32)  # (B, L*2gp)
 
             skip = jnp.zeros((batch, S), jnp.float32)
-            for l in range(L):
-                if l in win_idx:
-                    # streamed ring: this chunk's rows are the VMEM window;
-                    # row tt holds the value from t - d_l (loaded/zeroed in
-                    # the prologue) and is overwritten with the t input
-                    j = win_idx[l]
-                    h_prev = win[j, tt]                  # (B, R) from t-d_l
-                else:
-                    slot = res_off[l] + (t & (dil[l] - 1))
-                    h_prev = bufs[slot]                  # (B, R) from t-d_l
-                u = (
-                    (jnp.dot(h_prev, conv_w[l, 0],
-                             preferred_element_type=jnp.float32)
-                     + jnp.dot(h, conv_w[l, 1],
-                               preferred_element_type=jnp.float32))
+            if fused_blocks:
+                # windowed residual expansion (tools/kfuse.py, landed):
+                # within a block of W layers the residual recurrence is
+                # expanded into the gate inputs, so each layer's whole
+                # on-chain work is ONE matmul (z_j times the precomputed
+                # [skip|res|P_{j,->later}] concat) — the sequential
+                # matmul-latency chain drops from 2L to L + L/W. The
+                # off-chain prev-tap/cond matmuls pipeline behind it.
+                # NOT bit-exact vs the unfused loop (different summation
+                # order); gated by the teacher-forced tolerance tests.
+                def ring_read(l):
+                    if l in win_idx:
+                        return win[win_idx[l], tt]
+                    return bufs[res_off[l] + (t & (dil[l] - 1))]
+
+                def ring_write(l, val):
+                    if l in win_idx:
+                        win[win_idx[l], tt] = val
+                    else:
+                        bufs[res_off[l] + (t & (dil[l] - 1))] = val
+
+                # per-layer base: prev-tap matmul + folded bias + cond
+                # (conv_b carries the within-block res_b@W1 fold)
+                base = [
+                    jnp.dot(ring_read(l), conv_w0[l],
+                            preferred_element_type=jnp.float32)
                     + conv_b[l][None, :].astype(jnp.float32)
-                ) + cc[:, l * 2 * gp:(l + 1) * 2 * gp]
-                z = (jnp.tanh(u[:, :gp])
-                     * jax.nn.sigmoid(u[:, gp:])).astype(wdt)
-                if l in win_idx:
-                    win[win_idx[l], tt] = h
-                else:
-                    bufs[slot] = h
-                # fused skip|res projection: one (B,gp)@(gp,Sp+R) MXU op per
-                # layer instead of two — each output column is the identical
-                # dot product, so fp32 stays bit-exact. skip occupies lanes
-                # [0,S); res starts at the 128-aligned offset Sp
-                rs = (jnp.dot(z, rs_w[l],
-                              preferred_element_type=jnp.float32)
-                      + rs_b[l][None, :].astype(jnp.float32))
-                h = (h.astype(jnp.float32) + rs[:, sp:sp + R]).astype(wdt)
-                skip = skip + rs[:, :S]
+                    + cc[:, l * 2 * gp:(l + 1) * 2 * gp]
+                    for l in range(L)
+                ]
+                for bi, blk in enumerate(fused_blocks):
+                    nb = len(blk)
+                    a = jnp.dot(h, w1cat[bi][:],
+                                preferred_element_type=jnp.float32)
+                    us = [base[l] + a[:, k * 2 * gp:(k + 1) * 2 * gp]
+                          for k, l in enumerate(blk)]
+                    for k, l in enumerate(blk):
+                        z = (jnp.tanh(us[k][:, :gp])
+                             * jax.nn.sigmoid(us[k][:, gp:])).astype(wdt)
+                        o = jnp.dot(z, fm[l][:],
+                                    preferred_element_type=jnp.float32)
+                        # fm layout: [skip(sp) | res(rp) | P_0..P_{rem-1}]
+                        for mq in range(nb - 1 - k):
+                            off = sp + rp + mq * 2 * gp
+                            us[k + 1 + mq] = (us[k + 1 + mq]
+                                              + o[:, off:off + 2 * gp])
+                        rs = (o[:, :sp + rp]
+                              + rs_b[l][None, :].astype(jnp.float32))
+                        ring_write(l, h)       # ring stores layer INPUT
+                        h = (h.astype(jnp.float32)
+                             + rs[:, sp:sp + R]).astype(wdt)
+                        skip = skip + rs[:, :S]
+            else:
+                for l in range(L):
+                    if l in win_idx:
+                        # streamed ring: this chunk's rows are the VMEM
+                        # window; row tt holds the value from t - d_l
+                        # (loaded/zeroed in the prologue) and is
+                        # overwritten with the t input
+                        j = win_idx[l]
+                        h_prev = win[j, tt]              # (B, R) from t-d_l
+                    else:
+                        slot = res_off[l] + (t & (dil[l] - 1))
+                        h_prev = bufs[slot]              # (B, R) from t-d_l
+                    u = (
+                        (jnp.dot(h_prev, conv_w[l, 0],
+                                 preferred_element_type=jnp.float32)
+                         + jnp.dot(h, conv_w[l, 1],
+                                   preferred_element_type=jnp.float32))
+                        + conv_b[l][None, :].astype(jnp.float32)
+                    ) + cc[:, l * 2 * gp:(l + 1) * 2 * gp]
+                    z = (jnp.tanh(u[:, :gp])
+                         * jax.nn.sigmoid(u[:, gp:])).astype(wdt)
+                    if l in win_idx:
+                        win[win_idx[l], tt] = h
+                    else:
+                        bufs[slot] = h
+                    # fused skip|res projection: one (B,gp)@(gp,Sp+R) MXU
+                    # op per layer instead of two — each output column is
+                    # the identical dot product, so fp32 stays bit-exact.
+                    # skip occupies lanes [0,S); res starts at the
+                    # 128-aligned offset Sp
+                    rs = (jnp.dot(z, rs_w[l],
+                                  preferred_element_type=jnp.float32)
+                          + rs_b[l][None, :].astype(jnp.float32))
+                    h = (h.astype(jnp.float32)
+                         + rs[:, sp:sp + R]).astype(wdt)
+                    skip = skip + rs[:, :S]
 
             o = jax.nn.relu(skip).astype(wdt)
             o = jax.nn.relu(
@@ -466,13 +555,13 @@ def _make_kernel(cfg: ModelConfig, chunk: int, batch: int, mode: str,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "mode", "chunk", "interpret", "dtype", "stream",
-                     "warmup", "unroll"),
+                     "warmup", "unroll", "fused"),
 )
 def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
                     mode: str = "sample", noise=None, chunk: int = 512,
                     interpret: bool = False, dtype: str = "float32",
                     teacher=None, stream: bool = False, warmup: int = 0,
-                    unroll: int = 4):
+                    unroll: int = 4, fused: int = 0):
     """Persistent-kernel AR generation; same contract as generate_fast.
 
     c_up (B, T, C) fp32; returns (B, T) fp32. `noise` (B, T) uniforms in
@@ -494,15 +583,23 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     unroll: samples per inner-loop trip (must divide chunk). Pure loop
     restructuring — identical ops in identical order, so fp32 stays
     bit-exact at every setting; 4 is ~5% faster than 1 on v5e.
+    fused: window size W for the fused residual-expansion kernel (0 =
+    off). Within each W-layer block the residual recurrence is expanded
+    into the gate inputs with precomputed weight products, shortening the
+    per-sample sequential matmul chain from 2L to L + L/W — 11-27% faster
+    in the latency-bound regime (small/medium batch; v5e measurements in
+    BASELINE.md), slower at compute-bound saturation batches (it adds
+    FLOPs). NOT bit-exact vs fused=0 (different summation order);
+    validated by teacher-forced tolerance tests + shared-noise decode A/B.
     """
     B, T, C = c_up.shape
     if not pallas_supported(cfg, batch=B, chunk=chunk, dtype=dtype,
-                            stream=stream):
+                            stream=stream, fused=fused):
         raise ValueError(
             f"model config/batch not supported by the Pallas kernel "
             f"(VMEM estimate "
-            f"{vmem_bytes_estimate(cfg, B, chunk, dtype, stream) >> 20} MB "
-            f"> {_VMEM_BUDGET >> 20} MB budget) — use the lax.scan path"
+            f"{vmem_bytes_estimate(cfg, B, chunk, dtype, stream, fused) >> 20}"
+            f" MB > {_VMEM_BUDGET >> 20} MB budget) — use the lax.scan path"
         )
     L = len(cfg.dilations)
     res_ids, strm_ids = _stream_split(cfg.dilations, chunk, stream)
@@ -586,16 +683,56 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
         raise ValueError("warmup must be a multiple of chunk")
     if unroll < 1 or chunk % unroll != 0:
         raise ValueError("unroll must divide chunk")
+    blocks = _fused_blocks(L, fused) if fused else ()
     kernel = _make_kernel(cfg, chunk, B, mode, teacher is not None, wdt,
-                          strm_ids, warmup, unroll)
+                          strm_ids, warmup, unroll, fused_blocks=blocks)
 
     def wspec(shape):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda i: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    weights = (in_w, in_b, conv_w, conv_b, cond_wcat, rs_w, rs_b,
-               pp["head1_w"], pp["head1_b"], pp["head2_w"], pp["head2_b"])
+    if fused:
+        # precomputed fused-window weights (fp32 products, then cast):
+        # w1cat[bi] = the block's current-tap weights side by side;
+        # fm[l] = [skip(sp-pad) | res(rp-pad) | res_w@W1 products toward
+        # each later layer in the block]; conv_b absorbs the constant
+        # res_b@W1 within-block terms.
+        rp = _res_pad(R)
+        conv_b_f = conv_b.astype(jnp.float32)
+        fms = []
+        w1cats = []
+        for blk in blocks:
+            w1cats.append(jnp.concatenate(
+                [conv_w[l, 1] for l in blk], axis=-1))
+            for k, l in enumerate(blk):
+                rem = len(blk) - 1 - k
+                parts = jnp.zeros((gp, sp + rp + rem * 2 * gp), jnp.float32)
+                parts = parts.at[:, :S].set(skip_w[l])
+                parts = parts.at[:, sp:sp + R].set(res_w[l])
+                for mq in range(rem):
+                    m = blk[k + 1 + mq]
+                    parts = parts.at[:, sp + rp + mq * 2 * gp:
+                                     sp + rp + (mq + 1) * 2 * gp].set(
+                        jnp.dot(res_w[l].astype(jnp.float32),
+                                conv_w[m, 1].astype(jnp.float32)))
+                    # the constant res_b[l] contribution to every later
+                    # layer's gate input folds into that layer's bias
+                    conv_b_f = conv_b_f.at[m].add(
+                        jnp.dot(pp["res_b"][l].astype(jnp.float32),
+                                conv_w[m, 1].astype(jnp.float32)))
+                fms.append(parts)
+        rs_b_f = jnp.zeros((L, sp + rp), jnp.float32)
+        rs_b_f = rs_b_f.at[:, :S].set(pp["skip_b"])
+        rs_b_f = rs_b_f.at[:, sp:sp + R].set(pp["res_b"])
+        weights = ((in_w, in_b, conv_w[:, 0], conv_b_f, cond_wcat, rs_b_f,
+                    pp["head1_w"], pp["head1_b"], pp["head2_w"],
+                    pp["head2_b"])
+                   + tuple(w1cats) + tuple(fms))
+    else:
+        weights = (in_w, in_b, conv_w, conv_b, cond_wcat, rs_w, rs_b,
+                   pp["head1_w"], pp["head1_b"], pp["head2_w"],
+                   pp["head2_b"])
     weights = tuple(jnp.asarray(w, wdt) for w in weights)
 
     # time-major layouts: the per-sample dynamic index must not land on the

@@ -36,9 +36,13 @@ def build_cfg():
     c.data = DataConfig(sample_rate=8000, n_fft=256, hop_length=80,
                         win_length=200, n_mels=16, fmax=3800.0,
                         segment_length=800, batch_size=2)
-    # lr_decay_rate=1.0 -> constant lr: torch.optim.Adam at fixed lr is the
-    # exact twin of the optax schedule
-    c.train = TrainConfig(learning_rate=1e-3, lr_decay_rate=1.0,
+    # the decay schedule is mirrored exactly in the torch twin
+    # (train_steps lr_schedule); run_parity pins transition_steps to the
+    # run length so the endpoint is annealed — an un-annealed endpoint
+    # bounces around the loss landscape and the decode-time MCD inherits
+    # that trajectory noise (the first 15k-step constant-lr run measured
+    # |delta| 0.144 dB from noise alone; see BASELINE.md)
+    c.train = TrainConfig(learning_rate=1e-3, lr_decay_rate=0.3,
                           grad_clip_norm=10.0)
     return c
 
@@ -102,8 +106,10 @@ def decode_mcds(cfg, eval_utts, gen_jax, gen_torch):
 
 
 def run_parity(root, steps=2000, seed=0, log=print):
-    """Train both frameworks, decode both, return (mcd_jax, mcd_torch,
-    jax_losses, torch_losses)."""
+    """Train both frameworks, decode both, return a dict with sampled and
+    greedy copy-synthesis MCDs per framework plus the loss curves."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import torch
@@ -116,6 +122,10 @@ def run_parity(root, steps=2000, seed=0, log=print):
     from tests import torch_trainref as ttr
 
     cfg = build_cfg()
+    # anneal over the run: lr(t) = lr0 * rate^(t / transition_steps)
+    # (optax.exponential_decay, continuous), ending at lr0 * rate^3
+    cfg.train = dataclasses.replace(cfg.train,
+                                    lr_decay_steps=max(steps // 3, 1))
     train_utts, eval_utts = build_corpus(root, cfg)
     sampler = SegmentSampler(
         train_utts, batch_size=cfg.data.batch_size,
@@ -136,39 +146,51 @@ def run_parity(root, steps=2000, seed=0, log=print):
         jax_losses.append(float(metrics["loss"]))
 
     tp = ttr.params_to_torch(trainer.init_state().params)
+    lr0, rate = cfg.train.learning_rate, cfg.train.lr_decay_rate
+    trans = cfg.train.lr_decay_steps
+    sched = lambda t: lr0 * rate ** (t / trans)   # noqa: E731 — optax twin
     torch_losses = []
     chunk = 500
     for s in range(0, steps, chunk):
         torch_losses += ttr.train_steps(
             tp, cfg.model, cfg.data.segment_length, batches[s:s + chunk],
-            lr=cfg.train.learning_rate, clip_norm=cfg.train.grad_clip_norm)
+            lr=lr0, clip_norm=cfg.train.grad_clip_norm,
+            lr_schedule=sched, step_offset=s)
         log(f"  torch step {min(s + chunk, steps)}: "
             f"loss {torch_losses[-1]:.4f}")
 
-    # decode the eval set with ONE shared noise stream per utterance
+    # decode the eval set twice per framework: with ONE shared noise
+    # stream per utterance (the production sampling path), and greedily —
+    # noise 0.5 makes the Laplace inverse-CDF return mu exactly in both
+    # frameworks, so the greedy MCDs compare the trained models with zero
+    # sampling noise
     rng = np.random.default_rng(1234)
     variables = {"params": state.params}
     pp = extract_plain_params(variables, cfg.model)
     model = trainer.model
-    gen_jax, gen_torch = [], []
+    gen = {"sampled": ([], []), "greedy": ([], [])}
     for u in eval_utts:
         cond = jnp.asarray(u.feats[None])
         c_up = model.apply(variables, cond, method="upsample_cond")
         T = c_up.shape[1]
-        noise = rng.uniform(1e-7, 1 - 1e-7, (1, T)).astype(np.float32)
-        wav_j = np.asarray(generate_fast(pp, cfg.model, c_up,
-                                         jax.random.key(0),
-                                         noise=jnp.asarray(noise)))[0]
+        drawn = rng.uniform(1e-7, 1 - 1e-7, (1, T)).astype(np.float32)
         with torch.no_grad():
             c_up_t = ttr.upsample_cond(tp, cfg.model,
                                        torch.from_numpy(u.feats[None]))
-        wav_t = ttr.generate_fast_torch(tp, cfg.model, c_up_t,
-                                        torch.from_numpy(noise))[0]
-        gen_jax.append(wav_j)
-        gen_torch.append(wav_t)
+        for kind, noise in (("sampled", drawn),
+                            ("greedy", np.full_like(drawn, 0.5))):
+            wav_j = np.asarray(generate_fast(pp, cfg.model, c_up,
+                                             jax.random.key(0),
+                                             noise=jnp.asarray(noise)))[0]
+            wav_t = ttr.generate_fast_torch(tp, cfg.model, c_up_t,
+                                            torch.from_numpy(noise))[0]
+            gen[kind][0].append(wav_j)
+            gen[kind][1].append(wav_t)
 
-    mj, mt = decode_mcds(cfg, eval_utts, gen_jax, gen_torch)
-    return mj, mt, jax_losses, torch_losses
+    out = {"jax_losses": jax_losses, "torch_losses": torch_losses}
+    for kind in ("sampled", "greedy"):
+        out[kind] = decode_mcds(cfg, eval_utts, *gen[kind])
+    return out
 
 
 if __name__ == "__main__":
@@ -180,7 +202,10 @@ if __name__ == "__main__":
     jax.config.update("jax_platforms", "cpu")
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     with tempfile.TemporaryDirectory() as root:
-        mj, mt, jl, tl = run_parity(root, steps=steps)
-    print(f"steps={steps}: MCD jax {mj:.3f} dB, torch {mt:.3f} dB, "
-          f"|delta| {abs(mj - mt):.3f} dB; "
-          f"final loss jax {jl[-1]:.4f} torch {tl[-1]:.4f}")
+        r = run_parity(root, steps=steps)
+    for kind in ("sampled", "greedy"):
+        mj, mt = r[kind]
+        print(f"steps={steps} {kind}: MCD jax {mj:.3f} dB, "
+              f"torch {mt:.3f} dB, |delta| {abs(mj - mt):.3f} dB")
+    print(f"final loss jax {r['jax_losses'][-1]:.4f} "
+          f"torch {r['torch_losses'][-1]:.4f}")

@@ -300,3 +300,91 @@ def test_segmented_streamed_rings():
                                         chunk=64, stream=True,
                                         interpret=True))
     np.testing.assert_array_equal(full, seg)
+
+
+# ---- fused windowed-residual-expansion kernel (fused=W) -----------------
+#
+# The fused variant expands the within-block residual recurrence into the
+# gate inputs (precomputed weight products), shortening the per-sample
+# sequential matmul chain from 2L to L + L/W. Algebraically equivalent but
+# NOT guaranteed bit-exact (different summation order), so these tests use
+# fp32 tolerances; the reduced-precision A/B lives in BASELINE.md.
+
+
+@pytest.mark.parametrize("head", ["softmax", "laplace"])
+@pytest.mark.parametrize("fused", [2, 3, 5])
+def test_fused_matches_scan(head, fused):
+    cfg, m, v, pp, c_up = setup_gen(head)
+    B, T, _ = c_up.shape
+    key = jax.random.key(11)
+    noise = jax.random.uniform(key, (B, T), minval=1e-6, maxval=1 - 1e-6)
+    fast = np.asarray(generate_fast(pp, cfg, c_up, key, "sample",
+                                    noise=noise))
+    pal = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                     noise=noise, chunk=128,
+                                     interpret=True, fused=fused))
+    np.testing.assert_allclose(pal, fast, atol=1e-5, rtol=0)
+
+
+@pytest.mark.parametrize("head", ["softmax", "laplace"])
+def test_fused_teacher_mode_matches_stack(head):
+    """Teacher forcing removes the feedback loop, so the fused kernel must
+    track the flax stack at fp tolerance — the validation path for any
+    non-bit-exact kernel variant."""
+    cfg, m, v, pp, c_up = setup_gen(head)
+    B, T, _ = c_up.shape
+    key = jax.random.key(4)
+    noise = jax.random.uniform(key, (B, T), minval=1e-6, maxval=1 - 1e-6)
+    if head == "softmax":
+        teacher = jax.random.randint(key, (B, T), 0, 256).astype(jnp.float32)
+    else:
+        teacher = jax.random.uniform(key, (B, T), minval=-1, maxval=1)
+    got = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                     noise=noise, teacher=teacher,
+                                     chunk=128, interpret=True, fused=3))
+    want = _teacher_expected(m, v, cfg, c_up, teacher, noise)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_fused_with_streamed_rings():
+    """fused composes with HBM-streamed large-dilation rings: the base
+    gate inputs read the streamed window, the block expansion is untouched
+    by where the rings live."""
+    cfg, pp, c_up = _setup_big_dil("laplace")
+    B, T, _ = c_up.shape
+    key = jax.random.key(5)
+    noise = jax.random.uniform(key, (B, T), minval=1e-6, maxval=1 - 1e-6)
+    ref = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                     noise=noise, chunk=64, interpret=True))
+    got = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                     noise=noise, chunk=64, interpret=True,
+                                     stream=True, fused=3))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=0)
+
+
+def test_fused_segmented_warmup():
+    """fused composes with the segmented teacher-forced warm-start."""
+    from shallow_wavenet_tpu.models.generate import generate_segmented
+
+    cfg, m, v, pp, c_up = setup_gen("laplace", F=30)
+    B, T, _ = c_up.shape
+    key = jax.random.key(21)
+    noise = jax.random.uniform(key, (B, T), minval=1e-6, maxval=1 - 1e-6)
+    full = np.asarray(generate_pallas(pp, cfg, c_up, mode="sample",
+                                      noise=noise, chunk=64, interpret=True,
+                                      fused=4))
+    seg = np.asarray(generate_segmented(pp, cfg, c_up, noise, seg_len=128,
+                                        chunk=64, interpret=True, fused=4))
+    np.testing.assert_allclose(seg, full, atol=1e-5, rtol=0)
+
+
+def test_fused_vmem_estimate_and_gate():
+    """The fused estimate carries the widened projections, and the support
+    gate accounts for them."""
+    from shallow_wavenet_tpu.config import get_config
+    from shallow_wavenet_tpu.ops.ar_kernel import vmem_bytes_estimate
+
+    deep = get_config("deep_baseline").model
+    assert (vmem_bytes_estimate(deep, 64, 64, "bfloat16", fused=6)
+            > vmem_bytes_estimate(deep, 64, 64, "bfloat16", fused=3)
+            > vmem_bytes_estimate(deep, 64, 64, "bfloat16"))

@@ -123,3 +123,27 @@ def test_streaming_rejects_bad_shapes():
     syn.flush()
     with pytest.raises(RuntimeError):
         syn.push(frames)
+
+
+def test_streaming_fused_equals_fused_batch():
+    """The fused-window kernel plugs into the streaming session: streamed
+    output must equal one fused batch call over the full conditioning with
+    the same noise (the fused kernel is deterministic, so streaming with
+    fused=W is self-consistent even though fused != unfused bitwise)."""
+    cfg, m, v, pp, frames, hop = setup_stream("laplace", F=96)
+    B, F, _ = frames.shape
+    syn = StreamingSynthesizer(pp, m, v, cfg, hop_length=hop, batch=B,
+                               block_frames=32, chunk=64, seed=3,
+                               interpret=True, record_noise=True, fused=3)
+    pieces = [syn.push(frames[:, s:s + 16]) for s in range(0, F, 16)]
+    pieces.append(syn.flush())
+    wav = np.concatenate(pieces, axis=1)
+    T = F * hop
+    assert wav.shape == (B, T)
+
+    c_up = m.apply(v, jnp.asarray(frames), method="upsample_cond")
+    noise = syn.noise_so_far()[:, :T]
+    oracle = np.asarray(generate_pallas(
+        pp, cfg, c_up, noise=jnp.asarray(noise), chunk=64, interpret=True,
+        fused=3))
+    np.testing.assert_array_equal(wav, oracle)

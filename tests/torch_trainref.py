@@ -194,13 +194,21 @@ def generate_fast_torch(tp, cfg, c_up, noise) -> np.ndarray:
 
 
 def train_steps(tp, cfg, seg_len, batches, lr, clip_norm,
-                quantize=None) -> list[float]:
+                quantize=None, lr_schedule=None,
+                step_offset: int = 0) -> list[float]:
     """Adam + global-norm clip over the given batches; returns the per-step
-    losses. Mirrors Trainer._step_core (optax.clip_by_global_norm + adam)."""
+    losses. Mirrors Trainer._step_core (optax.clip_by_global_norm + adam).
+    lr_schedule: optional step -> lr callable mirroring the optax schedule
+    (optax applies lr at the GLOBAL step count, so chunked callers pass
+    step_offset); overrides `lr` when given."""
     ps = flat_params(tp)
     opt = torch.optim.Adam(ps, lr=lr, betas=(0.9, 0.999), eps=1e-8)
     losses = []
-    for b in batches:
+    for i, b in enumerate(batches):
+        if lr_schedule is not None:
+            cur = float(lr_schedule(step_offset + i))
+            for g in opt.param_groups:
+                g["lr"] = cur
         opt.zero_grad()
         loss = loss_fn(tp, cfg, seg_len,
                        torch.from_numpy(b["x"]),

@@ -40,10 +40,11 @@ def _bench_one(preset, dtype, batch, chunk=CHUNK, **kw):
     n_frames = int(SECONDS * sr) // hop
     t = n_frames * hop
     stream = bool(kw.get("stream", False))
+    fused = int(kw.get("fused", 0))
     if not pallas_supported(mc, batch=batch, chunk=chunk, dtype=dtype,
-                            stream=stream):
+                            stream=stream, fused=fused):
         print(f"{preset} {dtype} b{batch}: unsupported "
-              f"({vmem_bytes_estimate(mc, batch, chunk, dtype, stream)>>20}"
+              f"({vmem_bytes_estimate(mc, batch, chunk, dtype, stream, fused)>>20}"
               f" MB)")
         return None
 
@@ -80,6 +81,8 @@ if __name__ == "__main__":
             kw["unroll"] = int(a.split("=", 1)[1])
         elif a.startswith("stream="):
             kw["stream"] = bool(int(a.split("=", 1)[1]))
+        elif a.startswith("fused="):
+            kw["fused"] = int(a.split("=", 1)[1])
         else:
             batches.append(int(a))
     batches = batches or [32]

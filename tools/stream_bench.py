@@ -4,7 +4,7 @@ Measures per-push wall latency for real-time single-stream (and small
 batch) synthesis — the serving-side complement of bench.py's batch
 throughput number.
 
-Usage: python tools/stream_bench.py [batch] [block_frames] [n_blocks]
+Usage: python tools/stream_bench.py [batch] [block_frames] [n_blocks] [fused]
 """
 
 import os
@@ -28,12 +28,14 @@ from shallow_wavenet_tpu.models.streaming import StreamingSynthesizer  # noqa: E
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 BLOCK_FRAMES = int(sys.argv[2]) if len(sys.argv) > 2 else 6
 N_BLOCKS = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+FUSED = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
 
 def main():
     cfg = get_config("shallow_laplace_single")
     mc, dc = cfg.model, cfg.data
     print(f"device={jax.devices()} B={B} block={BLOCK_FRAMES} frames "
+          f"fused={FUSED} "
           f"({BLOCK_FRAMES * dc.hop_length / dc.sample_rate * 1e3:.1f} ms "
           f"audio/block)")
     from tools._common import init_model
@@ -42,7 +44,8 @@ def main():
     model, v, pp = init_model(mc, dc.hop_length)
 
     syn = StreamingSynthesizer(pp, model, v, mc, hop_length=dc.hop_length,
-                               batch=B, block_frames=BLOCK_FRAMES, chunk=64)
+                               batch=B, block_frames=BLOCK_FRAMES, chunk=64,
+                               fused=FUSED)
     frames = rng.standard_normal(
         (B, BLOCK_FRAMES * (N_BLOCKS + 2), mc.aux_channels)).astype(np.float32)
 
