@@ -80,46 +80,88 @@ def build_corpus(root, cfg, n_train=6, n_eval=4):
     return out["train"], out["eval"]
 
 
-def decode_mcds(cfg, eval_utts, gen_jax, gen_torch):
-    """Copy-synthesis MCD of each framework's decodes vs the references."""
+N_DRAWS = 4     # noise streams per eval utterance (decode-variance control)
+
+
+def _train_jax(trainer, batches, log, tag="jax", perturb=0.0):
+    """Train the flax model over the fixed batch stream; returns (params,
+    losses). perturb != 0 applies a relative perturbation to the init —
+    two such runs measure the floating-point chaos floor of the 20k-step
+    AR training trajectory (any O(ulp) difference grows to genuinely
+    different weights; see BASELINE.md 'JAX vs torch twin')."""
+    import jax
+
+    state = trainer.init_state()
+    if perturb:
+        state = state.replace(params=jax.tree.map(
+            lambda p: p * (1.0 + perturb), state.params))
+    losses = []
+    for i, b in enumerate(batches):
+        state, metrics = trainer.step_fn(state, b)
+        if (i + 1) % 500 == 0:
+            log(f"  {tag} step {i + 1}: loss {float(metrics['loss']):.4f}")
+        losses.append(float(metrics["loss"]))
+    return state.params, losses
+
+
+def _decode_jax(trainer, cfg, params, eval_utts, noises):
+    """Copy-synthesize each eval utterance with N_DRAWS shared noise
+    streams (batched); returns list of (N_DRAWS, T) waveforms."""
+    import jax
+    import jax.numpy as jnp
+
+    from shallow_wavenet_tpu.models.generate import generate_fast
+    from shallow_wavenet_tpu.models.wavenet import extract_plain_params
+
+    variables = {"params": params}
+    pp = extract_plain_params(variables, cfg.model)
+    outs = []
+    for u, noise in zip(eval_utts, noises):
+        cond = jnp.asarray(np.repeat(u.feats[None], N_DRAWS, axis=0))
+        c_up = trainer.model.apply(variables, cond, method="upsample_cond")
+        outs.append(np.asarray(generate_fast(
+            pp, cfg.model, c_up, jax.random.key(0),
+            noise=jnp.asarray(noise))))
+    return outs
+
+
+def _mcd_avg(cfg, eval_utts, gens):
+    """Mean copy-synthesis MCD over utterances and noise draws."""
     import jax.numpy as jnp
 
     from shallow_wavenet_tpu.ops.mcep import mcd, mcep_analysis
 
-    def mcd_of(ref, gen):
-        n = min(len(ref), len(gen))
-        a = mcep_analysis(jnp.asarray(ref[:n]), cfg.data.n_fft,
-                          cfg.data.hop_length, cfg.data.win_length,
-                          cfg.noise_shaping.mcep_order,
-                          cfg.noise_shaping.alpha)
-        b = mcep_analysis(jnp.asarray(gen[:n]), cfg.data.n_fft,
-                          cfg.data.hop_length, cfg.data.win_length,
-                          cfg.noise_shaping.mcep_order,
-                          cfg.noise_shaping.alpha)
-        return float(mcd(a, b))
+    def frames(x):
+        return mcep_analysis(jnp.asarray(x), cfg.data.n_fft,
+                             cfg.data.hop_length, cfg.data.win_length,
+                             cfg.noise_shaping.mcep_order,
+                             cfg.noise_shaping.alpha)
 
-    mj = float(np.mean([mcd_of(u.wav, g)
-                        for u, g in zip(eval_utts, gen_jax)]))
-    mt = float(np.mean([mcd_of(u.wav, g)
-                        for u, g in zip(eval_utts, gen_torch)]))
-    return mj, mt
+    vals = []
+    for u, g in zip(eval_utts, gens):
+        n = min(len(u.wav), g.shape[1])
+        a = frames(u.wav[:n])
+        for d in range(g.shape[0]):
+            vals.append(float(mcd(a, frames(g[d, :n]))))
+    return float(np.mean(vals))
 
 
-def run_parity(root, steps=2000, seed=0, log=print):
-    """Train both frameworks, decode both, return a dict with sampled and
-    greedy copy-synthesis MCDs per framework plus the loss curves."""
+def run_parity(root, steps=2000, seed=0, log=print, noise_floor=True):
+    """Train both frameworks from the same init on the same batch stream,
+    copy-synthesize the eval set with shared noise (N_DRAWS streams per
+    utterance, MCD averaged), and — when noise_floor — train a SECOND jax
+    model from a 1e-7-relatively-perturbed init to measure the intra-
+    framework chaos floor the inter-framework delta must be judged
+    against. Returns {"jax": mcd, "torch": mcd, "jax_perturbed": mcd|None,
+    "jax_losses": [...], "torch_losses": [...]}."""
     import dataclasses
 
-    import jax
-    import jax.numpy as jnp
     import torch
 
     from shallow_wavenet_tpu.data.dataset import SegmentSampler
-    from shallow_wavenet_tpu.models.generate import generate_fast
-    from shallow_wavenet_tpu.models.wavenet import extract_plain_params
-    from shallow_wavenet_tpu.training import Trainer
-
     from tests import torch_trainref as ttr
+
+    from shallow_wavenet_tpu.training import Trainer
 
     cfg = build_cfg()
     # anneal over the run: lr(t) = lr0 * rate^(t / transition_steps)
@@ -137,13 +179,11 @@ def run_parity(root, steps=2000, seed=0, log=print):
         b.pop("speaker", None)
 
     trainer = Trainer(cfg, mesh=None)
-    state = trainer.init_state()
-    jax_losses = []
-    for i, b in enumerate(batches):
-        state, metrics = trainer.step_fn(state, b)
-        if (i + 1) % 500 == 0:
-            log(f"  jax step {i + 1}: loss {float(metrics['loss']):.4f}")
-        jax_losses.append(float(metrics["loss"]))
+    params_j, jax_losses = _train_jax(trainer, batches, log)
+    params_j2 = None
+    if noise_floor:
+        params_j2, _ = _train_jax(trainer, batches, log, tag="jax-perturbed",
+                                  perturb=1e-7)
 
     tp = ttr.params_to_torch(trainer.init_state().params)
     lr0, rate = cfg.train.learning_rate, cfg.train.lr_decay_rate
@@ -159,37 +199,33 @@ def run_parity(root, steps=2000, seed=0, log=print):
         log(f"  torch step {min(s + chunk, steps)}: "
             f"loss {torch_losses[-1]:.4f}")
 
-    # decode the eval set twice per framework: with ONE shared noise
-    # stream per utterance (the production sampling path), and greedily —
-    # noise 0.5 makes the Laplace inverse-CDF return mu exactly in both
-    # frameworks, so the greedy MCDs compare the trained models with zero
-    # sampling noise
+    # shared noise per (utterance, draw): both frameworks consume the
+    # identical uniform streams, so decode sampling noise cancels up to
+    # the (genuinely different) trained weights
     rng = np.random.default_rng(1234)
-    variables = {"params": state.params}
-    pp = extract_plain_params(variables, cfg.model)
-    model = trainer.model
-    gen = {"sampled": ([], []), "greedy": ([], [])}
-    for u in eval_utts:
-        cond = jnp.asarray(u.feats[None])
-        c_up = model.apply(variables, cond, method="upsample_cond")
-        T = c_up.shape[1]
-        drawn = rng.uniform(1e-7, 1 - 1e-7, (1, T)).astype(np.float32)
+    hop = int(np.prod(cfg.model.upsample_factors))
+    noises = [rng.uniform(1e-7, 1 - 1e-7,
+                          (N_DRAWS, (len(u.feats)) * hop)).astype(np.float32)
+              for u in eval_utts]
+
+    gen_t = []
+    for u, noise in zip(eval_utts, noises):
         with torch.no_grad():
-            c_up_t = ttr.upsample_cond(tp, cfg.model,
-                                       torch.from_numpy(u.feats[None]))
-        for kind, noise in (("sampled", drawn),
-                            ("greedy", np.full_like(drawn, 0.5))):
-            wav_j = np.asarray(generate_fast(pp, cfg.model, c_up,
-                                             jax.random.key(0),
-                                             noise=jnp.asarray(noise)))[0]
-            wav_t = ttr.generate_fast_torch(tp, cfg.model, c_up_t,
-                                            torch.from_numpy(noise))[0]
-            gen[kind][0].append(wav_j)
-            gen[kind][1].append(wav_t)
+            c_up_t = ttr.upsample_cond(
+                tp, cfg.model,
+                torch.from_numpy(np.repeat(u.feats[None], N_DRAWS, axis=0)))
+        gen_t.append(ttr.generate_fast_torch(tp, cfg.model, c_up_t,
+                                             torch.from_numpy(noise)))
 
     out = {"jax_losses": jax_losses, "torch_losses": torch_losses}
-    for kind in ("sampled", "greedy"):
-        out[kind] = decode_mcds(cfg, eval_utts, *gen[kind])
+    out["jax"] = _mcd_avg(cfg, eval_utts,
+                          _decode_jax(trainer, cfg, params_j, eval_utts,
+                                      noises))
+    out["torch"] = _mcd_avg(cfg, eval_utts, gen_t)
+    out["jax_perturbed"] = (
+        _mcd_avg(cfg, eval_utts,
+                 _decode_jax(trainer, cfg, params_j2, eval_utts, noises))
+        if params_j2 is not None else None)
     return out
 
 
@@ -203,9 +239,11 @@ if __name__ == "__main__":
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     with tempfile.TemporaryDirectory() as root:
         r = run_parity(root, steps=steps)
-    for kind in ("sampled", "greedy"):
-        mj, mt = r[kind]
-        print(f"steps={steps} {kind}: MCD jax {mj:.3f} dB, "
-              f"torch {mt:.3f} dB, |delta| {abs(mj - mt):.3f} dB")
+    mj, mt, mj2 = r["jax"], r["torch"], r["jax_perturbed"]
+    print(f"steps={steps}: MCD jax {mj:.3f} dB, torch {mt:.3f} dB, "
+          f"|delta| {abs(mj - mt):.3f} dB")
+    if mj2 is not None:
+        print(f"  chaos floor (jax vs jax+1e-7 init perturbation): "
+              f"jax2 {mj2:.3f} dB, |delta| {abs(mj - mj2):.3f} dB")
     print(f"final loss jax {r['jax_losses'][-1]:.4f} "
           f"torch {r['torch_losses'][-1]:.4f}")
