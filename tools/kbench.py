@@ -28,11 +28,14 @@ SECONDS = 0.5
 CHUNK = 256
 
 
-def bench_one(preset, dtype, batch, chunk=CHUNK, **kw):
+def bench_one(preset, dtype, batch, chunk=None, **kw):
     return _bench_one(preset, dtype, batch, chunk=chunk, **kw)
 
 
-def _bench_one(preset, dtype, batch, chunk=CHUNK, **kw):
+def _bench_one(preset, dtype, batch, chunk=None, **kw):
+    # chunk=N on the CLI mutates the module global AFTER this function is
+    # defined, so the default must resolve at call time, not def time
+    chunk = CHUNK if chunk is None else chunk
     cfg = get_config(preset)
     mc = cfg.model
     sr = cfg.data.sample_rate
