@@ -237,8 +237,9 @@ if __name__ == "__main__":
 
     jax.config.update("jax_platforms", "cpu")
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     with tempfile.TemporaryDirectory() as root:
-        r = run_parity(root, steps=steps)
+        r = run_parity(root, steps=steps, seed=seed)
     mj, mt, mj2 = r["jax"], r["torch"], r["jax_perturbed"]
     print(f"steps={steps}: MCD jax {mj:.3f} dB, torch {mt:.3f} dB, "
           f"|delta| {abs(mj - mt):.3f} dB")
