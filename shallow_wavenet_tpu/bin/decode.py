@@ -43,6 +43,60 @@ def load_model_state(cfg: Config, workdir: str):
 
 import functools
 
+# THE Pallas backend tier ladder — the single source of truth shared by
+# decode_batch, _decode_batch_dp and bench (VERDICT r2 item 6: the DP path
+# must probe the same tiers as single-device, including the chunk-32
+# streamed tiers that extend the deep batch frontier). Order: fp32 resident
+# (bit-exact vs scan) -> fp32 streamed -> fp32 streamed chunk-32 -> bf16
+# resident -> bf16 streamed -> bf16 streamed chunk-32. Each entry is
+# (dtype, streamed, chunk); streaming keeps large-dilation rings in HBM
+# (pure data movement, preserves fp32 bit-exactness) and chunk 32 halves
+# the streamed ring windows AND makes d == 64 layers streamable.
+PALLAS_TIERS = (
+    ("float32", False, 64),
+    ("float32", True, 64),
+    ("float32", True, 32),
+    ("bfloat16", False, 64),
+    ("bfloat16", True, 64),
+    ("bfloat16", True, 32),
+)
+
+
+def _run_tier_ladder(cfg: Config, batch: int, t_len: int, kernel_dtype: str,
+                     fused: int, run):
+    """Probe + execute PALLAS_TIERS in order with `run(dt, strm, chunk,
+    fused)`; returns the first tier's result or None when every tier fails.
+    With fused != 0, a fully exhausted ladder retries unfused with a warning
+    (ADVICE r2: a fused compile failure must degrade to the unfused Pallas
+    kernel — orders of magnitude faster than the lax.scan fallback — not
+    silently to scan)."""
+    from shallow_wavenet_tpu.ops.ar_kernel import probe_pallas
+
+    for fz in (fused, 0) if fused else (0,):
+        if fused and fz == 0:
+            log.warning("every fused=%d kernel tier failed to probe or "
+                        "compile; retrying the ladder with --fused dropped",
+                        fused)
+        for dt, strm, chunk in PALLAS_TIERS:
+            if kernel_dtype != "auto" and dt != kernel_dtype:
+                continue
+            if not probe_pallas(cfg.model, batch=batch, chunk=chunk,
+                                dtype=dt, stream=strm, fused=fz):
+                log.debug("pallas tier %s%s chunk=%d failed probe at B=%d",
+                          dt, " streamed" if strm else "", chunk, batch)
+                continue
+            try:
+                return run(dt, strm, chunk, fz)
+            except Exception as e:  # compile limit at this (B, T) — next
+                # tier. Include the error: a REAL bug (not a Mosaic VMEM/
+                # compile frontier) must not vanish into silent fallback
+                log.warning(
+                    "pallas %s%s chunk=%d kernel failed at B=%d T=%d "
+                    "(%s: %s); falling back", dt,
+                    " streamed" if strm else "", chunk, batch, t_len,
+                    type(e).__name__, str(e)[:500])
+    return None
+
 
 @functools.lru_cache(maxsize=4)
 def _prep_fn(model):
@@ -77,7 +131,7 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
     from shallow_wavenet_tpu.models.generate import (
         generate_fast, generate_segmented,
     )
-    from shallow_wavenet_tpu.ops.ar_kernel import generate_pallas, probe_pallas
+    from shallow_wavenet_tpu.ops.ar_kernel import generate_pallas
 
     cond, n_frames, n_samples = pad_batch_for_decode(utts, cfg.data.hop_length)
     variables = {"params": state.params}
@@ -124,52 +178,30 @@ def decode_batch(trainer, state, cfg: Config, utts, key, use_pallas=None,
                                    minval=1e-7, maxval=1.0 - 1e-7)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    # tiered backend choice: fp32 resident kernel (bit-exact vs scan) ->
-    # fp32 with HBM-streamed large-dilation rings (still bit-exact — pure
-    # data movement; frees ~8x ring VMEM on the deep config) -> bf16
-    # resident -> bf16 streamed (validated teacher-forced against the fp32
-    # stack, tests/test_pallas_ar.py) -> lax.scan queue path. Each tier is
-    # gated by a probe_pallas try-compile AND a try/except around the real
-    # call: the Mosaic compile frontier depends on batch and total length
-    # in ways the VMEM byte estimate cannot predict (hardware probes, v5e
-    # 2026-08 — see ops/ar_kernel.py).
+    # tiered backend choice (PALLAS_TIERS, shared with the DP path) then
+    # the lax.scan queue path. Each tier is gated by a probe_pallas
+    # try-compile AND a try/except around the real call: the Mosaic
+    # compile frontier depends on batch and total length in ways the VMEM
+    # byte estimate cannot predict (hardware probes, v5e 2026-08 — see
+    # ops/ar_kernel.py).
     B = len(utts)
-    wav = None
     if use_pallas:
-        # the final chunk-32 streamed tier halves the per-layer ring
-        # windows AND streams d==64 layers, which extends the deep
-        # config's batch frontier well past the chunk-64 tiers'
-        for dt, strm, chunk in (("float32", False, 64),
-                                ("float32", True, 64),
-                                ("float32", True, 32),
-                                ("bfloat16", False, 64),
-                                ("bfloat16", True, 64),
-                                ("bfloat16", True, 32)):
-            if kernel_dtype != "auto" and dt != kernel_dtype:
-                continue
-            if not probe_pallas(cfg.model, batch=B, chunk=chunk, dtype=dt,
-                                stream=strm, fused=fused):
-                continue
-            try:
-                if segment_samples > 0:
-                    # c_up/noise are host arrays here: device HBM holds
-                    # only one segment of conditioning at a time
-                    wav = np.asarray(generate_segmented(
-                        pp, cfg.model, c_up, noise,
-                        segment_samples, chunk=chunk, dtype=dt, stream=strm,
-                        fused=fused))
-                else:
-                    wav = np.asarray(generate_pallas(
-                        pp, cfg.model, c_up, noise=noise, chunk=chunk,
-                        dtype=dt, stream=strm, fused=fused))
-                break
-            except Exception as e:  # compile limit at this (B, T) — next
-                # tier. Include the error: a REAL bug (not a Mosaic VMEM/
-                # compile frontier) must not vanish into silent fallback
-                logging.getLogger("decode").warning(
-                    "pallas %s%s kernel failed at B=%d T=%d (%s: %s); "
-                    "falling back", dt, " streamed" if strm else "", B,
-                    c_up.shape[1], type(e).__name__, str(e)[:500])
+        def run_tier(dt, strm, chunk, fz):
+            if segment_samples > 0:
+                # c_up/noise are host arrays here: device HBM holds
+                # only one segment of conditioning at a time
+                return np.asarray(generate_segmented(
+                    pp, cfg.model, c_up, noise,
+                    segment_samples, chunk=chunk, dtype=dt, stream=strm,
+                    fused=fz))
+            return np.asarray(generate_pallas(
+                pp, cfg.model, c_up, noise=noise, chunk=chunk,
+                dtype=dt, stream=strm, fused=fz))
+
+        wav = _run_tier_ladder(cfg, B, c_up.shape[1], kernel_dtype, fused,
+                               run_tier)
+    else:
+        wav = None
     if wav is None:
         if segment_samples > 0:
             # the lax.scan path has no segmented mode: it would materialize
@@ -195,7 +227,6 @@ def _decode_batch_dp(trainer, state, cfg: Config, utts, cond, n_samples,
     import jax
     import jax.numpy as jnp
     from shallow_wavenet_tpu.models.generate import generate_dp
-    from shallow_wavenet_tpu.ops.ar_kernel import probe_pallas
 
     n_dev = mesh.devices.size
     B = len(utts)
@@ -227,23 +258,15 @@ def _decode_batch_dp(trainer, state, cfg: Config, utts, cond, n_samples,
     wav = None
     if use_pallas:
         per_dev = Bp // n_dev
-        for dt, strm in (("float32", False), ("float32", True),
-                         ("bfloat16", False), ("bfloat16", True)):
-            if kernel_dtype != "auto" and dt != kernel_dtype:
-                continue
-            if not probe_pallas(cfg.model, batch=per_dev, chunk=64,
-                                dtype=dt, stream=strm, fused=fused):
-                continue
-            try:
-                wav = np.asarray(generate_dp(
-                    pp, cfg.model, c_up, noise, mesh, use_pallas=True,
-                    chunk=64, stream=strm, dtype=dt, fused=fused))
-                break
-            except Exception as e:  # noqa: BLE001 — Mosaic frontier; next tier
-                log.warning("dp pallas %s%s failed at B/dev=%d T=%d (%s: "
-                            "%s); falling back", dt,
-                            " streamed" if strm else "", per_dev, T,
-                            type(e).__name__, str(e)[:500])
+
+        def run_tier(dt, strm, chunk, fz):
+            return np.asarray(generate_dp(
+                pp, cfg.model, c_up, noise, mesh, use_pallas=True,
+                chunk=chunk, stream=strm, dtype=dt, fused=fz))
+
+        # probe at the PER-DEVICE batch — that is what each chip compiles
+        wav = _run_tier_ladder(cfg, per_dev, T, kernel_dtype, fused,
+                               run_tier)
     if wav is None:
         wav = np.asarray(generate_dp(pp, cfg.model, c_up, noise, mesh,
                                      use_pallas=False))

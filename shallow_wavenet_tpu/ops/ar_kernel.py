@@ -593,6 +593,12 @@ def generate_pallas(pp: dict, cfg: ModelConfig, c_up, key=None,
     validated by teacher-forced tolerance tests + shared-noise decode A/B.
     """
     B, T, C = c_up.shape
+    if fused < 0:
+        # a negative value would pass "if fused:" (truthy) and build the
+        # fused weight layout while _fused_blocks returns no blocks — the
+        # kernel would then die in an opaque unpack at trace time
+        raise ValueError("fused must be >= 0 (0 disables the fused-window "
+                         "kernel)")
     if not pallas_supported(cfg, batch=B, chunk=chunk, dtype=dtype,
                             stream=stream, fused=fused):
         raise ValueError(

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 def mulaw_encode(x, mu: int = 255):
     """Compand x in [-1, 1] to [-1, 1] with mu-law."""
+    x = jnp.asarray(x)
     mu = jnp.asarray(mu, x.dtype)
     return jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / jnp.log1p(mu)
 

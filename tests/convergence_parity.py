@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 
-def build_cfg():
+def build_cfg(head: str = "laplace"):
     from shallow_wavenet_tpu.config import (
         Config, DataConfig, ModelConfig, TrainConfig,
     )
@@ -31,7 +31,7 @@ def build_cfg():
     c.model = ModelConfig(
         n_stacks=1, stack_size=7, residual_channels=16, gate_channels=32,
         skip_channels=24, aux_channels=16, upsample_factors=(4, 5, 4),
-        cond_channels=12, head="laplace", compute_dtype="float32",
+        cond_channels=12, head=head, compute_dtype="float32",
     )
     c.data = DataConfig(sample_rate=8000, n_fft=256, hop_length=80,
                         win_length=200, n_mels=16, fmax=3800.0,
@@ -146,14 +146,18 @@ def _mcd_avg(cfg, eval_utts, gens):
     return float(np.mean(vals))
 
 
-def run_parity(root, steps=2000, seed=0, log=print, noise_floor=True):
+def run_parity(root, steps=2000, seed=0, log=print, noise_floor=True,
+               head="laplace", n_eval=12,
+               floor_perturbs=(1e-7,)):
     """Train both frameworks from the same init on the same batch stream,
     copy-synthesize the eval set with shared noise (N_DRAWS streams per
-    utterance, MCD averaged), and — when noise_floor — train a SECOND jax
-    model from a 1e-7-relatively-perturbed init to measure the intra-
-    framework chaos floor the inter-framework delta must be judged
-    against. Returns {"jax": mcd, "torch": mcd, "jax_perturbed": mcd|None,
-    "jax_losses": [...], "torch_losses": [...]}."""
+    utterance, MCD averaged), and — when noise_floor — train additional jax
+    models from relatively-perturbed inits (one per entry of
+    floor_perturbs) to measure the intra-framework chaos floor the
+    inter-framework delta must be judged against as a DISTRIBUTION, not a
+    point (VERDICT r2 item 1). Returns {"jax": mcd, "torch": mcd,
+    "jax_perturbed": [mcd, ...], "jax_losses": [...],
+    "torch_losses": [...]}."""
     import dataclasses
 
     import torch
@@ -163,12 +167,14 @@ def run_parity(root, steps=2000, seed=0, log=print, noise_floor=True):
 
     from shallow_wavenet_tpu.training import Trainer
 
-    cfg = build_cfg()
+    cfg = build_cfg(head=head)
     # anneal over the run: lr(t) = lr0 * rate^(t / transition_steps)
     # (optax.exponential_decay, continuous), ending at lr0 * rate^3
     cfg.train = dataclasses.replace(cfg.train,
                                     lr_decay_steps=max(steps // 3, 1))
-    train_utts, eval_utts = build_corpus(root, cfg)
+    # n_eval=12 x N_DRAWS=4 shrinks the MCD-estimator variance that round
+    # 2's 4-utterance floor could not separate from trajectory chaos
+    train_utts, eval_utts = build_corpus(root, cfg, n_eval=n_eval)
     sampler = SegmentSampler(
         train_utts, batch_size=cfg.data.batch_size,
         segment_length=cfg.data.segment_length,
@@ -180,22 +186,36 @@ def run_parity(root, steps=2000, seed=0, log=print, noise_floor=True):
 
     trainer = Trainer(cfg, mesh=None)
     params_j, jax_losses = _train_jax(trainer, batches, log)
-    params_j2 = None
+    perturbed_params = []
     if noise_floor:
-        params_j2, _ = _train_jax(trainer, batches, log, tag="jax-perturbed",
-                                  perturb=1e-7)
+        for pi, pert in enumerate(floor_perturbs):
+            pp_i, _ = _train_jax(trainer, batches, log,
+                                 tag=f"jax-perturbed[{pert:g}]",
+                                 perturb=pert)
+            perturbed_params.append(pp_i)
+
+    quantize = None
+    if head == "softmax":
+        from shallow_wavenet_tpu.ops.mulaw import mulaw_quantize
+
+        def quantize(x):
+            return torch.from_numpy(np.array(
+                mulaw_quantize(x.numpy(), cfg.model.quantize_channels)))
 
     tp = ttr.params_to_torch(trainer.init_state().params)
     lr0, rate = cfg.train.learning_rate, cfg.train.lr_decay_rate
     trans = cfg.train.lr_decay_steps
     sched = lambda t: lr0 * rate ** (t / trans)   # noqa: E731 — optax twin
+    # ONE optimizer across all chunks: Adam moments and bias correction
+    # persist exactly like the optax chain's (ADVICE r2 medium)
+    opt = ttr.make_optimizer(tp, lr0)
     torch_losses = []
     chunk = 500
     for s in range(0, steps, chunk):
         torch_losses += ttr.train_steps(
             tp, cfg.model, cfg.data.segment_length, batches[s:s + chunk],
             lr=lr0, clip_norm=cfg.train.grad_clip_norm,
-            lr_schedule=sched, step_offset=s)
+            lr_schedule=sched, step_offset=s, opt=opt, quantize=quantize)
         log(f"  torch step {min(s + chunk, steps)}: "
             f"loss {torch_losses[-1]:.4f}")
 
@@ -222,29 +242,54 @@ def run_parity(root, steps=2000, seed=0, log=print, noise_floor=True):
                           _decode_jax(trainer, cfg, params_j, eval_utts,
                                       noises))
     out["torch"] = _mcd_avg(cfg, eval_utts, gen_t)
-    out["jax_perturbed"] = (
+    out["jax_perturbed"] = [
         _mcd_avg(cfg, eval_utts,
-                 _decode_jax(trainer, cfg, params_j2, eval_utts, noises))
-        if params_j2 is not None else None)
+                 _decode_jax(trainer, cfg, pp_i, eval_utts, noises))
+        for pp_i in perturbed_params]
     return out
 
 
 if __name__ == "__main__":
-    import sys
+    import argparse
+    import json
     import tempfile
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("steps", type=int, nargs="?", default=2000)
+    ap.add_argument("seed", type=int, nargs="?", default=0)
+    ap.add_argument("--head", default="laplace",
+                    choices=("laplace", "softmax"))
+    ap.add_argument("--n-eval", type=int, default=12)
+    ap.add_argument("--floors", type=float, nargs="*", default=[1e-7],
+                    help="relative init perturbations, one chaos-floor "
+                         "training run each (empty = skip the floor legs)")
+    ap.add_argument("--json", default=None,
+                    help="append the result as one JSON line to this file")
+    a = ap.parse_args()
     with tempfile.TemporaryDirectory() as root:
-        r = run_parity(root, steps=steps, seed=seed)
-    mj, mt, mj2 = r["jax"], r["torch"], r["jax_perturbed"]
-    print(f"steps={steps}: MCD jax {mj:.3f} dB, torch {mt:.3f} dB, "
+        r = run_parity(root, steps=a.steps, seed=a.seed, head=a.head,
+                       n_eval=a.n_eval, floor_perturbs=tuple(a.floors),
+                       noise_floor=bool(a.floors))
+    mj, mt = r["jax"], r["torch"]
+    print(f"steps={a.steps} seed={a.seed} head={a.head}: "
+          f"MCD jax {mj:.3f} dB, torch {mt:.3f} dB, "
           f"|delta| {abs(mj - mt):.3f} dB")
-    if mj2 is not None:
-        print(f"  chaos floor (jax vs jax+1e-7 init perturbation): "
+    for pert, mj2 in zip(a.floors, r["jax_perturbed"]):
+        print(f"  chaos floor (jax vs jax*(1+{pert:g}) init): "
               f"jax2 {mj2:.3f} dB, |delta| {abs(mj - mj2):.3f} dB")
     print(f"final loss jax {r['jax_losses'][-1]:.4f} "
           f"torch {r['torch_losses'][-1]:.4f}")
+    if a.json:
+        rec = {"steps": a.steps, "seed": a.seed, "head": a.head,
+               "n_eval": a.n_eval, "n_draws": N_DRAWS,
+               "jax": mj, "torch": mt, "delta": abs(mj - mt),
+               "floors": {str(p): abs(mj - m)
+                          for p, m in zip(a.floors, r["jax_perturbed"])},
+               "jax_perturbed": r["jax_perturbed"],
+               "final_loss_jax": r["jax_losses"][-1],
+               "final_loss_torch": r["torch_losses"][-1]}
+        with open(a.json, "a") as f:
+            f.write(json.dumps(rec) + "\n")

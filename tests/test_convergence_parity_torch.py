@@ -20,7 +20,8 @@ import pytest
 from tests.convergence_parity import build_cfg, run_parity
 
 
-def test_torch_decoder_matches_jax_decoder():
+@pytest.mark.parametrize("head", ["laplace", "softmax"])
+def test_torch_decoder_matches_jax_decoder(head):
     import jax
     import jax.numpy as jnp
     import torch
@@ -29,12 +30,16 @@ def test_torch_decoder_matches_jax_decoder():
     from shallow_wavenet_tpu.models.generate import generate_fast
     from tests import torch_trainref as ttr
 
-    cfg = build_cfg()
+    cfg = build_cfg(head=head)
     mc = cfg.model
     model = WaveNet(mc)
     rng = np.random.default_rng(0)
     hop = int(np.prod(mc.upsample_factors))
     x0 = jnp.asarray(rng.uniform(-1, 1, (1, 2 * hop - 1)), jnp.float32)
+    if head == "softmax":
+        from shallow_wavenet_tpu.ops.mulaw import mulaw_quantize
+
+        x0 = mulaw_quantize(x0, mc.quantize_channels)
     c0 = jnp.asarray(rng.standard_normal((1, 2, mc.aux_channels)),
                      jnp.float32)
     variables = model.init(jax.random.key(0), x0, c0)
@@ -51,7 +56,20 @@ def test_torch_decoder_matches_jax_decoder():
     with torch.no_grad():
         c_up_t = ttr.upsample_cond(tp, mc, torch.from_numpy(cond))
     wav_t = ttr.generate_fast_torch(tp, mc, c_up_t, torch.from_numpy(noise))
-    np.testing.assert_allclose(wav_t, wav_j, atol=2e-6)
+    if head == "laplace":
+        np.testing.assert_allclose(wav_t, wav_j, atol=2e-6)
+    else:
+        # the softmax CDFs differ by summation order (jax: triangular
+        # matmul, torch: cumsum), so a uniform landing within ~1e-7 of a
+        # bin boundary can select the neighbouring class — accept rare
+        # single-bin flips, nothing else
+        from shallow_wavenet_tpu.ops.mulaw import mulaw_quantize
+
+        qj = np.array(mulaw_quantize(wav_j, mc.quantize_channels))
+        qt = np.array(mulaw_quantize(wav_t, mc.quantize_channels))
+        diff = np.abs(qj.astype(int) - qt.astype(int))
+        assert diff.max() <= 1, diff.max()
+        assert (diff != 0).mean() < 0.01, (diff != 0).mean()
 
 
 @pytest.mark.slow
@@ -68,11 +86,15 @@ def test_converged_quality_within_contract(tmp_path):
     the frameworks then differ by no more than the framework differs from
     itself. Measured numbers are recorded in BASELINE.md."""
     steps = int(os.environ.get("SWT_CONVERGENCE_STEPS", "20000"))
-    r = run_parity(tmp_path, steps=steps)
-    mj, mt, mj2 = r["jax"], r["torch"], r["jax_perturbed"]
+    head = os.environ.get("SWT_CONVERGENCE_HEAD", "laplace")
+    seed = int(os.environ.get("SWT_CONVERGENCE_SEED", "0"))
+    r = run_parity(tmp_path, steps=steps, seed=seed, head=head,
+                   floor_perturbs=(1e-7, -1e-7, 3e-7))
+    mj, mt = r["jax"], r["torch"]
     # both frameworks converged (past the random-init ~13 dB regime)
     assert mj < 8.5 and mt < 8.5, (mj, mt)
     delta = abs(mj - mt)
-    floor = abs(mj - mj2)
+    floors = [abs(mj - m) for m in r["jax_perturbed"]]
+    floor = float(np.mean(floors))
     assert delta <= max(0.1, 1.5 * floor), \
-        f"MCD jax {mj:.3f} vs torch {mt:.3f} (chaos floor {floor:.3f})"
+        f"MCD jax {mj:.3f} vs torch {mt:.3f} (chaos floors {floors})"

@@ -193,16 +193,27 @@ def generate_fast_torch(tp, cfg, c_up, noise) -> np.ndarray:
     return wav.numpy()
 
 
+def make_optimizer(tp, lr):
+    """The twin's Adam, hyper-matched to Trainer._step_core's optax.adam."""
+    return torch.optim.Adam(flat_params(tp), lr=lr, betas=(0.9, 0.999),
+                            eps=1e-8)
+
+
 def train_steps(tp, cfg, seg_len, batches, lr, clip_norm,
                 quantize=None, lr_schedule=None,
-                step_offset: int = 0) -> list[float]:
+                step_offset: int = 0, opt=None) -> list[float]:
     """Adam + global-norm clip over the given batches; returns the per-step
     losses. Mirrors Trainer._step_core (optax.clip_by_global_norm + adam).
     lr_schedule: optional step -> lr callable mirroring the optax schedule
     (optax applies lr at the GLOBAL step count, so chunked callers pass
-    step_offset); overrides `lr` when given."""
-    ps = flat_params(tp)
-    opt = torch.optim.Adam(ps, lr=lr, betas=(0.9, 0.999), eps=1e-8)
+    step_offset); overrides `lr` when given.
+    opt: the optimizer from make_optimizer. Chunked callers MUST create it
+    once and pass it to every chunk — a fresh Adam per chunk zeroes the
+    moments and restarts bias correction mid-run, a systematic break from
+    the optax side whose state persists across all steps (ADVICE r2)."""
+    if opt is None:
+        opt = make_optimizer(tp, lr)
+    ps = [p for g in opt.param_groups for p in g["params"]]
     losses = []
     for i, b in enumerate(batches):
         if lr_schedule is not None:
