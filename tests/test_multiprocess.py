@@ -55,7 +55,7 @@ def test_two_process_training_matches_single_process(tmp_path):
             cwd=REPO, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True,
         ))
-    outs = [p.communicate(timeout=600) for p in procs]
+    outs = [p.communicate(timeout=1200) for p in procs]
     for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (
             f"worker {pid} failed:\n{out[-1500:]}\n{err[-3000:]}")
@@ -99,3 +99,52 @@ def test_two_process_training_matches_single_process(tmp_path):
     # differently from the single-process XLA reduction — allow fp32
     # accumulation noise, nothing more
     np.testing.assert_allclose(mp_losses, ref_losses, rtol=0, atol=5e-5)
+
+    # --- cross-process restore (VERDICT r2 item 2): the checkpoint the
+    # 2-process cluster wrote restores in THIS 1-process job, decodes, and
+    # continues training ---
+    import jax.numpy as jnp
+
+    from shallow_wavenet_tpu.models import extract_plain_params
+    from shallow_wavenet_tpu.models.generate import generate_fast
+    from tests.multiproc_worker import build_eval_cond
+
+    restored, sampler_state, step = trainer.restore(workdir,
+                                                    trainer.init_state())
+    assert step == STEPS, step
+    assert sampler_state is not None
+
+    # --- DP generation equality: the waveform shards each process
+    # generated through shard_map over the NON-addressable global mesh
+    # must assemble into exactly the single-process decode ---
+    shard_files = [np.load(str(r) + ".wavs.npz") for r in results]
+    def assemble(name):
+        rows = sorted((int(k.split("_")[-1]), z[k])
+                      for z in shard_files for k in z.files
+                      if k.startswith(name + "_"))
+        return np.concatenate([r for _, r in rows])
+
+    variables = {"params": restored.params}
+    _, noise = build_eval_cond(cfg)
+    c_up = jnp.asarray(assemble("cup"))  # the exact conditioning the
+    # workers consumed — the equality contract is on the generation path
+    pp = extract_plain_params(variables, cfg.model)
+    import jax as _jax
+    wav_ref = np.asarray(generate_fast(pp, cfg.model, c_up,
+                                       _jax.random.key(0),
+                                       noise=jnp.asarray(noise)))
+    # 1-row-per-device GEMMs on CPU Eigen take a different accumulation
+    # path than the 8-row single-device ones (~1 ulp on 3% of samples,
+    # observed max 6e-8); on TPU the per-row MXU math is shape-invariant
+    # and decode --dp is sample-identical (tests/test_recipe.py). Allow
+    # ulp-scale noise here, nothing more
+    np.testing.assert_allclose(assemble("scan"), wav_ref, atol=1e-6, rtol=0)
+    np.testing.assert_allclose(assemble("pallas"), wav_ref, atol=1e-5,
+                               rtol=0)
+
+    # --- continue training from the cross-process restore ---
+    cont_sampler = ConcatSampler(
+        [make_sampler(cfg, utts, s) for s in range(N_PROCESSES)])
+    cont_dir = tmp_path / "cont"
+    state2 = trainer.fit(restored, cont_sampler, cont_dir, steps=STEPS + 4)
+    assert int(state2.step) == STEPS + 4
