@@ -318,13 +318,18 @@ void swt_band_aperiodicity(const float* x, int64_t t, const float* f0,
 
 // Mel-cepstral analysis, the exact algorithm of ops/mcep.py mcep_analysis:
 // centered Hann frame -> zero-pad to n_fft -> log|rFFT| (floor eps) ->
-// cepstrum -> minimum-phase doubling -> freqt recursion to order M at
-// warping alpha (the SPTK freqt C loop itself, not the dense-matrix form
-// the TPU path uses).
+// cepstrum -> (optional F0-adaptive lag window) -> minimum-phase doubling
+// -> freqt recursion to order M at warping alpha (the SPTK freqt C loop
+// itself, not the dense-matrix form the TPU path uses).
+// f0: optional per-frame F0 track (NULL = no smoothing; unvoiced <= 0
+// frames use f0_default) — multiplying cepstrum k by sinc(k*f0/sr)
+// averages the log spectrum across one harmonic spacing, the envelope
+// smoothing of ops/mcep.spectrum_to_mcep.
 // out: (n_frames, order + 1) float32 row-major.
-void swt_mcep(const float* x, int64_t t, int n_fft, int hop, int win,
-              int order, double alpha, double eps, float* out,
-              int64_t n_frames) {
+void swt_mcep_f0(const float* x, int64_t t, int n_fft, int hop, int win,
+                 int order, double alpha, double eps, const float* f0,
+                 int64_t n_f0, double sample_rate, double f0_default,
+                 float* out, int64_t n_frames) {
   // the radix-2 FFT requires a power-of-two size; the Python wrapper
   // validates, this is the memory-safety backstop
   if (n_fft <= 0 || (n_fft & (n_fft - 1)) != 0) return;
@@ -357,6 +362,16 @@ void swt_mcep(const float* x, int64_t t, int n_fft, int hop, int win,
       im[i] = 0.0;
     }
     fft(re, im, /*inverse=*/true);
+    if (f0 != nullptr && n_f0 > 0 && sample_rate > 0) {
+      // lag window on the full cepstrum BEFORE truncation (matches the
+      // JAX path; edge-pad the f0 track to this frame count)
+      const double f0v_raw = f0[std::min(f, n_f0 - 1)];
+      const double f0n = (f0v_raw > 0.0 ? f0v_raw : f0_default) / sample_rate;
+      for (size_t i = 1; i <= m1; ++i) {
+        const double a = M_PI * static_cast<double>(i) * f0n;
+        re[i] *= std::sin(a) / a;
+      }
+    }
     // minimum-phase doubling: h0 = c0, hk = 2 ck, Nyquist h[m1] = c[m1]
     cep[0] = re[0];
     for (size_t i = 1; i < m1; ++i) cep[i] = 2.0 * re[i];
@@ -374,6 +389,14 @@ void swt_mcep(const float* x, int64_t t, int n_fft, int hop, int win,
     for (int j = 0; j <= order; ++j)
       out[f * (order + 1) + j] = static_cast<float>(g[j]);
   }
+}
+
+// Unsmoothed entry point (the original ABI).
+void swt_mcep(const float* x, int64_t t, int n_fft, int hop, int win,
+              int order, double alpha, double eps, float* out,
+              int64_t n_frames) {
+  swt_mcep_f0(x, t, n_fft, hop, win, order, alpha, eps, nullptr, 0, 0.0,
+              0.0, out, n_frames);
 }
 
 }  // extern "C"

@@ -61,7 +61,10 @@ def extract_one(wav_path: str, cfg, numpy_only: bool = False) -> np.ndarray:
         lf0 = log_f0(f0, vuv)
         mc = mcep_analysis(x, cfg.data.n_fft, cfg.data.hop_length,
                            cfg.data.win_length, cfg.noise_shaping.mcep_order,
-                           cfg.noise_shaping.alpha)
+                           cfg.noise_shaping.alpha,
+                           f0_hz=(f0 * vuv if cfg.data.envelope_smoothing
+                                  else None),
+                           sample_rate=sr)
         bap = band_aperiodicity(x, f0, sr, cfg.data.hop_length,
                                 n_bands=cfg.data.n_bap)
         n = min(lf0.shape[0], mc.shape[0], bap.shape[0], n_frames)

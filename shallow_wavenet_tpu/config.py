@@ -70,6 +70,10 @@ class DataConfig:
     f0_min: float = 70.0
     f0_max: float = 400.0
     n_bap: int = 4
+    # F0-adaptive lag-window smoothing of the mcep spectral envelope
+    # (CheapTrick's core idea; world features only — the mcep then tracks
+    # the envelope rather than harmonic peaks on strongly voiced frames)
+    envelope_smoothing: bool = False
 
 
 @dataclass(frozen=True)

@@ -74,6 +74,12 @@ def load_native(build: bool = True) -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_double, ctypes.c_double, fp, ctypes.c_int64,
     ]
     lib.swt_mcep.restype = None
+    lib.swt_mcep_f0.argtypes = [
+        fp, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, fp, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, fp, ctypes.c_int64,
+    ]
+    lib.swt_mcep_f0.restype = None
     _lib = lib
     return lib
 
@@ -166,8 +172,12 @@ def band_aperiodicity_native(x: np.ndarray, f0: np.ndarray,
 
 
 def mcep_native(x: np.ndarray, n_fft: int, hop_length: int, win_length: int,
-                order: int, alpha: float, eps: float = 1e-8) -> np.ndarray:
-    """Native twin of ops/mcep.mcep_analysis (freqt as the SPTK C loop)."""
+                order: int, alpha: float, eps: float = 1e-8,
+                f0: np.ndarray | None = None, sample_rate: int = 0,
+                f0_default: float = 300.0) -> np.ndarray:
+    """Native twin of ops/mcep.mcep_analysis (freqt as the SPTK C loop).
+    f0 + sample_rate enable the F0-adaptive lag-window envelope smoothing
+    (same semantics as the JAX path's f0_hz)."""
     if n_fft <= 0 or n_fft & (n_fft - 1):
         raise ValueError(
             f"native mcep needs a power-of-two n_fft (got {n_fft}); use the "
@@ -176,8 +186,16 @@ def mcep_native(x: np.ndarray, n_fft: int, hop_length: int, win_length: int,
     x = np.ascontiguousarray(x, np.float32)
     n = _n_frames_centered(x.size, win_length, hop_length)
     out = np.empty((n, order + 1), np.float32)
-    lib.swt_mcep(_fp(x), x.size, n_fft, hop_length, win_length, order,
-                 float(alpha), eps, _fp(out), n)
+    if f0 is None:
+        lib.swt_mcep(_fp(x), x.size, n_fft, hop_length, win_length, order,
+                     float(alpha), eps, _fp(out), n)
+    else:
+        if not sample_rate:
+            raise ValueError("f0-adaptive smoothing needs sample_rate")
+        f0 = np.ascontiguousarray(f0, np.float32)
+        lib.swt_mcep_f0(_fp(x), x.size, n_fft, hop_length, win_length,
+                        order, float(alpha), eps, _fp(f0), f0.size,
+                        float(sample_rate), float(f0_default), _fp(out), n)
     return out
 
 
@@ -191,7 +209,9 @@ def world_features_native(wav: np.ndarray, cfg) -> np.ndarray:
     lf0 = np.where(vuv > 0, np.log(np.maximum(f0, 1.0)), 0.0)
     mc = mcep_native(wav, cfg.data.n_fft, cfg.data.hop_length,
                      cfg.data.win_length, cfg.noise_shaping.mcep_order,
-                     cfg.noise_shaping.alpha)
+                     cfg.noise_shaping.alpha,
+                     f0=(f0 * vuv if cfg.data.envelope_smoothing else None),
+                     sample_rate=sr)
     bap = band_aperiodicity_native(wav, f0, sr, cfg.data.hop_length,
                                    n_bands=cfg.data.n_bap)
     n = min(lf0.shape[0], mc.shape[0], bap.shape[0],

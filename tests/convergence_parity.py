@@ -148,7 +148,7 @@ def _mcd_avg(cfg, eval_utts, gens):
 
 def run_parity(root, steps=2000, seed=0, log=print, noise_floor=True,
                head="laplace", n_eval=12,
-               floor_perturbs=(1e-7,)):
+               floor_perturbs=(1e-7,), with_torch=True):
     """Train both frameworks from the same init on the same batch stream,
     copy-synthesize the eval set with shared noise (N_DRAWS streams per
     utterance, MCD averaged), and — when noise_floor — train additional jax
@@ -194,6 +194,31 @@ def run_parity(root, steps=2000, seed=0, log=print, noise_floor=True,
                                  perturb=pert)
             perturbed_params.append(pp_i)
 
+    # shared noise per (utterance, draw): both frameworks consume the
+    # identical uniform streams, so decode sampling noise cancels up to
+    # the (genuinely different) trained weights
+    rng = np.random.default_rng(1234)
+    hop = int(np.prod(cfg.model.upsample_factors))
+    noises = [rng.uniform(1e-7, 1 - 1e-7,
+                          (N_DRAWS, (len(u.feats)) * hop)).astype(np.float32)
+              for u in eval_utts]
+
+    out = {"jax_losses": jax_losses}
+    out["jax"] = _mcd_avg(cfg, eval_utts,
+                          _decode_jax(trainer, cfg, params_j, eval_utts,
+                                      noises))
+    out["jax_perturbed"] = [
+        _mcd_avg(cfg, eval_utts,
+                 _decode_jax(trainer, cfg, pp_i, eval_utts, noises))
+        for pp_i in perturbed_params]
+    if not with_torch:
+        # floors-only mode: the chaos-floor distribution needs many
+        # perturbed JAX runs but only one torch leg per replication — this
+        # skips the (3x more expensive) torch side entirely
+        out["torch"] = None
+        out["torch_losses"] = []
+        return out
+
     quantize = None
     if head == "softmax":
         from shallow_wavenet_tpu.ops.mulaw import mulaw_quantize
@@ -219,15 +244,6 @@ def run_parity(root, steps=2000, seed=0, log=print, noise_floor=True,
         log(f"  torch step {min(s + chunk, steps)}: "
             f"loss {torch_losses[-1]:.4f}")
 
-    # shared noise per (utterance, draw): both frameworks consume the
-    # identical uniform streams, so decode sampling noise cancels up to
-    # the (genuinely different) trained weights
-    rng = np.random.default_rng(1234)
-    hop = int(np.prod(cfg.model.upsample_factors))
-    noises = [rng.uniform(1e-7, 1 - 1e-7,
-                          (N_DRAWS, (len(u.feats)) * hop)).astype(np.float32)
-              for u in eval_utts]
-
     gen_t = []
     for u, noise in zip(eval_utts, noises):
         with torch.no_grad():
@@ -237,15 +253,8 @@ def run_parity(root, steps=2000, seed=0, log=print, noise_floor=True,
         gen_t.append(ttr.generate_fast_torch(tp, cfg.model, c_up_t,
                                              torch.from_numpy(noise)))
 
-    out = {"jax_losses": jax_losses, "torch_losses": torch_losses}
-    out["jax"] = _mcd_avg(cfg, eval_utts,
-                          _decode_jax(trainer, cfg, params_j, eval_utts,
-                                      noises))
+    out["torch_losses"] = torch_losses
     out["torch"] = _mcd_avg(cfg, eval_utts, gen_t)
-    out["jax_perturbed"] = [
-        _mcd_avg(cfg, eval_utts,
-                 _decode_jax(trainer, cfg, pp_i, eval_utts, noises))
-        for pp_i in perturbed_params]
     return out
 
 
@@ -268,28 +277,36 @@ if __name__ == "__main__":
                          "training run each (empty = skip the floor legs)")
     ap.add_argument("--json", default=None,
                     help="append the result as one JSON line to this file")
+    ap.add_argument("--no-torch", action="store_true",
+                    help="floors-only: skip the torch leg (cheap extra "
+                         "chaos-floor samples)")
     a = ap.parse_args()
     with tempfile.TemporaryDirectory() as root:
         r = run_parity(root, steps=a.steps, seed=a.seed, head=a.head,
                        n_eval=a.n_eval, floor_perturbs=tuple(a.floors),
-                       noise_floor=bool(a.floors))
+                       noise_floor=bool(a.floors),
+                       with_torch=not a.no_torch)
     mj, mt = r["jax"], r["torch"]
-    print(f"steps={a.steps} seed={a.seed} head={a.head}: "
-          f"MCD jax {mj:.3f} dB, torch {mt:.3f} dB, "
-          f"|delta| {abs(mj - mt):.3f} dB")
+    if mt is not None:
+        print(f"steps={a.steps} seed={a.seed} head={a.head}: "
+              f"MCD jax {mj:.3f} dB, torch {mt:.3f} dB, "
+              f"|delta| {abs(mj - mt):.3f} dB")
+    else:
+        print(f"steps={a.steps} seed={a.seed} head={a.head}: "
+              f"MCD jax {mj:.3f} dB (floors-only)")
     for pert, mj2 in zip(a.floors, r["jax_perturbed"]):
         print(f"  chaos floor (jax vs jax*(1+{pert:g}) init): "
               f"jax2 {mj2:.3f} dB, |delta| {abs(mj - mj2):.3f} dB")
-    print(f"final loss jax {r['jax_losses'][-1]:.4f} "
-          f"torch {r['torch_losses'][-1]:.4f}")
     if a.json:
         rec = {"steps": a.steps, "seed": a.seed, "head": a.head,
                "n_eval": a.n_eval, "n_draws": N_DRAWS,
-               "jax": mj, "torch": mt, "delta": abs(mj - mt),
+               "jax": mj, "torch": mt,
+               "delta": abs(mj - mt) if mt is not None else None,
                "floors": {str(p): abs(mj - m)
                           for p, m in zip(a.floors, r["jax_perturbed"])},
                "jax_perturbed": r["jax_perturbed"],
-               "final_loss_jax": r["jax_losses"][-1],
-               "final_loss_torch": r["torch_losses"][-1]}
+               "final_loss_jax": r["jax_losses"][-1]}
+        if r["torch_losses"]:
+            rec["final_loss_torch"] = r["torch_losses"][-1]
         with open(a.json, "a") as f:
             f.write(json.dumps(rec) + "\n")

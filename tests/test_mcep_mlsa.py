@@ -94,3 +94,52 @@ def test_mcd_length_mismatch_uses_overlap():
     rng = np.random.default_rng(3)
     a = jnp.asarray(rng.standard_normal((40, 25)), jnp.float32)
     assert float(mcd(a, a[:30])) == 0.0
+
+
+def test_f0_adaptive_smoothing_recovers_envelope():
+    """The F0-adaptive lag window (C12 envelope fix, VERDICT r2 item 7):
+    on a strongly voiced harmonic signal with a KNOWN smooth envelope, the
+    smoothed mcep must sit closer to the true envelope than the plain
+    periodogram mcep (which tracks the harmonic peaks/valleys)."""
+    from shallow_wavenet_tpu.ops.mcep import spectrum_to_mcep
+
+    sr, f0 = 16000, 200.0
+    n_fft, hop, win, order = 1024, 80, 1024, 24
+    t = np.arange(sr) / sr
+
+    def log_env(f):
+        return (1.5 * np.exp(-((f - 500) / 300) ** 2)
+                + 1.0 * np.exp(-((f - 2000) / 500) ** 2) - 3.0 - f / 4000)
+
+    ks = np.arange(1, int((sr / 2 - 200) / f0))
+    x = sum(np.exp(log_env(k * f0)) * np.sin(2 * np.pi * k * f0 * t
+                                             + 0.7 * k * k) for k in ks)
+    x = (x / np.abs(x).max() * 0.8).astype(np.float32)
+
+    freqs = np.arange(n_fft // 2 + 1) * sr / n_fft
+    mc_true = spectrum_to_mcep(
+        jnp.asarray(log_env(freqs), jnp.float32)[None], order, ALPHA)[0]
+
+    mc_plain = np.asarray(
+        mcep_analysis(jnp.asarray(x), n_fft, hop, win, order, ALPHA))
+    n = mc_plain.shape[0]
+    mc_sm = np.asarray(mcep_analysis(
+        jnp.asarray(x), n_fft, hop, win, order, ALPHA,
+        f0_hz=jnp.full((n,), f0, jnp.float32), sample_rate=sr))
+    sl = slice(10, n - 10)
+    d_plain = float(mcd(mc_true[None], jnp.asarray(mc_plain[sl].mean(0))[None]))
+    d_sm = float(mcd(mc_true[None], jnp.asarray(mc_sm[sl].mean(0))[None]))
+    # measured: 8.98 dB plain vs 7.50 dB smoothed on this construction
+    assert d_sm < d_plain - 1.0, (d_plain, d_sm)
+
+
+def test_smoothing_none_is_identity():
+    x = synth_utterance(3, 16000, 0.3)
+    a = np.asarray(mcep_analysis(jnp.asarray(x), 512, 80, 400, 24, ALPHA))
+    n = a.shape[0]
+    # zero f0 everywhere at a huge default width ~ no-op limit sanity:
+    # f0_default -> 0 makes the lifter -> 1 (sinc(0) = 1)
+    b = np.asarray(mcep_analysis(jnp.asarray(x), 512, 80, 400, 24, ALPHA,
+                                 f0_hz=jnp.zeros((n,), jnp.float32),
+                                 sample_rate=16000, f0_default=1e-3))
+    np.testing.assert_allclose(a, b, atol=1e-5)

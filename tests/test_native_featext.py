@@ -53,6 +53,22 @@ def test_mcep_native_matches_jax(wav):
     np.testing.assert_allclose(mc_n, mc_j, atol=1e-4)
 
 
+def test_mcep_native_smoothed_matches_jax(wav):
+    """The F0-adaptive lag-window envelope smoothing (C12, VERDICT r2
+    item 7) must agree between the native worker path and the JAX path."""
+    args = (1024, HOP, 1024, 24, 0.455)
+    f0_n, vuv_n = nat.f0_native(wav, SR, HOP)
+    f0v = (f0_n * vuv_n).astype(np.float32)
+    mc_j = np.asarray(mcep_analysis(jnp.asarray(wav), *args,
+                                    f0_hz=jnp.asarray(f0v), sample_rate=SR))
+    mc_n = nat.mcep_native(wav, *args, f0=f0v, sample_rate=SR)
+    assert mc_n.shape == mc_j.shape
+    np.testing.assert_allclose(mc_n, mc_j, atol=1e-4)
+    # and it genuinely changed the envelope (the lifter did something)
+    plain = nat.mcep_native(wav, *args)
+    assert np.abs(mc_n - plain).max() > 1e-3
+
+
 def test_bap_native_matches_jax(wav):
     f0_n, _ = nat.f0_native(wav, SR, HOP)
     bap_j = np.asarray(

@@ -3,7 +3,12 @@ matmul, prev-tap matmul, ring-buffer traffic, res/skip matmuls, head,
 sampling) by timing stripped kernel variants. NUMERICS ARE WRONG in every
 ablated variant — timing only.
 
-Usage: python tools/kprobe.py [batch] [chunk] [dtype]
+Usage: python tools/kprobe.py [batch] [chunk] [dtype] [preset=NAME]
+
+preset= selects the model geometry (default shallow_laplace_single; the
+deep_baseline ablations must run RESIDENT — this probe has no ring
+streaming — so the feasible deep batches are the bf16 resident frontier,
+B <= ~128).
 """
 
 import os
@@ -25,9 +30,12 @@ enable_compilation_cache()
 
 from shallow_wavenet_tpu.config import get_config  # noqa: E402
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-DT = sys.argv[3] if len(sys.argv) > 3 else "float32"
+_pos = [a for a in sys.argv[1:] if "=" not in a]
+_kw = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+B = int(_pos[0]) if len(_pos) > 0 else 64
+CHUNK = int(_pos[1]) if len(_pos) > 1 else 128
+DT = _pos[2] if len(_pos) > 2 else "float32"
+PRESET = _kw.get("preset", "shallow_laplace_single")
 T = 24000
 ABLATIONS = ("full", "no_cond", "no_prev", "no_buf", "no_resskip",
              "no_head", "no_sample", "matmuls_only", "cheap_gate",
@@ -139,7 +147,7 @@ def build(cfg, ablate, wdt):
 
 
 def run(ablate):
-    cfg = get_config("shallow_laplace_single").model
+    cfg = get_config(PRESET).model
     wdt = jnp.bfloat16 if DT == "bfloat16" else jnp.float32
     L = len(cfg.dilations)
     R, S, C = cfg.residual_channels, cfg.skip_channels, cfg.cond_channels
@@ -174,6 +182,10 @@ def run(ablate):
         out_shape=jax.ShapeDtypeStruct((T, B), jnp.float32),
         scratch_shapes=[pltpu.VMEM((sum_d, B, R), wdt),
                         pltpu.VMEM((B, R), wdt)],
+        # the production kernel's physical-VMEM lift (ar_kernel.py); the
+        # deep config's resident rings blow the default 16 MB gate
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
     )
     f = jax.jit(lambda c, n: call(c, n, *weights))
     out = f(cond, noise)
@@ -189,7 +201,8 @@ def run(ablate):
 
 
 def main():
-    print(f"B={B} chunk={CHUNK} dtype={DT} device={jax.devices()}")
+    print(f"preset={PRESET} B={B} chunk={CHUNK} dtype={DT} "
+          f"device={jax.devices()}")
     base = None
     for ab in ABLATIONS:
         try:
