@@ -108,3 +108,44 @@ def mlsa_filter(x, b, alpha: float, pade_order: int = 5,
 
     (_, _), y = jax.lax.scan(step, (e0, u0), jnp.asarray(x, jnp.float32))
     return gain * y
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "pade_order", "hop"))
+def mlsa_filter_tv(x, b_frames, alpha: float, hop: int,
+                   pade_order: int = 5):
+    """Time-VARYING MLSA synthesis filter: per-frame mc2b coefficients
+    b_frames (n_frames, M+1), held constant within each hop (the classic
+    MLSA vocoder's frame-rate coefficient update; SPTK mlsadf's `-P` use).
+    This is the synthesis half of the WORLD/SPTK equivalent (component
+    C12): excitation -> exp(mel log envelope) -> waveform. Returns (T,)
+    with T = len(x)."""
+    t_len = x.shape[0]
+    b_t = jnp.repeat(jnp.asarray(b_frames, jnp.float32), hop, axis=0)
+    if b_t.shape[0] < t_len:
+        b_t = jnp.pad(b_t, ((0, t_len - b_t.shape[0]), (0, 0)), mode="edge")
+    b_t = b_t[:t_len]
+    pade = pade_coefficients(pade_order)
+    L = pade_order
+    m = b_frames.shape[-1] - 1
+    alpha_f = float(alpha)
+
+    e0 = jnp.zeros((L, m), jnp.float32)
+    u0 = jnp.zeros((L,), jnp.float32)
+    signs = jnp.asarray([(-1.0) ** (l + 1) for l in range(1, L + 1)],
+                        jnp.float32)
+    coef = jnp.asarray(pade[1:], jnp.float32)
+
+    def step(carry, xs):
+        x_t, bt = xs
+        e, u_prev = carry
+        e_new, t = jax.vmap(
+            lambda ei, ui: _basic_filter_step(ei, ui, bt[1:], alpha_f)
+        )(e, u_prev)
+        v = x_t + jnp.sum(coef * signs * t)
+        y = v + jnp.sum(coef * t)
+        u_next = jnp.concatenate([v[None], t[:-1]])
+        return (e_new, u_next), jnp.exp(bt[0]) * y
+
+    (_, _), y = jax.lax.scan(step, (e0, u0),
+                             (jnp.asarray(x, jnp.float32), b_t))
+    return y

@@ -1,8 +1,10 @@
 """Training-throughput microbenchmark on the attached TPU.
 
 Times the jitted train step (and the K-step scanned variant) on random
-batches of the config-2 geometry. Usage:
-  python tools/train_bench.py [preset] [batch] [K ...]
+batches of the given preset's geometry and reports MFU from XLA's own
+FLOPs cost analysis of the compiled step (VERDICT r2 item 4: training
+throughput needs a roofline row, not just steps/s). Usage:
+  python tools/train_bench.py [preset] [batch] [K ...] [segment=N]
 """
 
 import os
@@ -22,16 +24,24 @@ enable_compilation_cache()
 from shallow_wavenet_tpu.config import get_config  # noqa: E402
 from shallow_wavenet_tpu.training import Trainer  # noqa: E402
 
-PRESET = sys.argv[1] if len(sys.argv) > 1 else "shallow_laplace_single"
-BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-KS = [int(a) for a in sys.argv[3:]] or [1, 8, 32]
+_pos = [a for a in sys.argv[1:] if "=" not in a]
+_kw = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+PRESET = _pos[0] if len(_pos) > 0 else "shallow_laplace_single"
+BATCH = int(_pos[1]) if len(_pos) > 1 else 8
+KS = [int(a) for a in _pos[2:]] or [1, 8, 32]
+SEGMENT = int(_kw.get("segment", 0))
+
+# v5e bf16 MXU peak; the presets train with compute_dtype=bfloat16
+V5E_PEAK = 197e12
 
 
 def main():
     cfg = get_config(PRESET)
     import dataclasses
 
-    cfg.data = dataclasses.replace(cfg.data, batch_size=BATCH)
+    cfg.data = dataclasses.replace(cfg.data, batch_size=BATCH,
+                                   **({"segment_length": SEGMENT}
+                                      if SEGMENT else {}))
     tr = Trainer(cfg)
     state = tr.init_state()
     rf = cfg.model.receptive_field
@@ -51,6 +61,18 @@ def main():
     n_samples = BATCH * total
     print(f"{PRESET} B={BATCH} segment+rf={total} samples/batch={n_samples} "
           f"device={jax.devices()}")
+    # XLA's own FLOPs count of the compiled fwd+bwd step -> MFU. (The
+    # count is of the HLO as written — fp32 ops in a bf16-peak
+    # denominator make the MFU conservative.)
+    step_flops = None
+    try:
+        ca = tr.step_fn.lower(state, tr.shard_batch(host_batch())) \
+            .compile().cost_analysis()
+        step_flops = float(ca["flops"])
+        print(f"XLA flops/step {step_flops / 1e9:.2f} GF "
+              f"({step_flops / n_samples / 1e6:.3f} MF/sample)")
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        print(f"cost_analysis unavailable: {e}")
     for K in KS:
         if K == 1:
             b = tr.shard_batch(host_batch())
@@ -72,8 +94,10 @@ def main():
                 state, m = tr.multi_step_fn(state, bs)
             np.asarray(m["loss"])
             dt = (time.time() - t0) / (calls * K)
+        mfu = (f"  MFU {step_flops / dt / V5E_PEAK * 100:5.1f}%"
+               if step_flops else "")
         print(f"K={K:3d}: {dt * 1e3:7.2f} ms/step  {1 / dt:7.1f} steps/s  "
-              f"{n_samples / dt / 1e6:7.2f} M samples/s")
+              f"{n_samples / dt / 1e6:7.2f} M samples/s{mfu}")
 
 
 if __name__ == "__main__":
