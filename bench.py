@@ -13,7 +13,13 @@ regressions in them are driver-visible too:
     measurement, tools/train_bench.py convention).
   - deep_rtf: deep-baseline (30-layer) generation RTF at the round-1
     frontier operating point (bf16 streamed rings, B=384, chunk 64);
-    vs_baseline = round-1's 0.00150 / value.
+    vs_baseline = round-1's 0.00150 / value. Carries "mfu": achieved
+    TFLOP/s vs the v5e bf16 peak from tools/roofline.py's exact per-step
+    FLOPs count (VERDICT r2 item 3).
+  - deep_train_steps_per_s: deep-baseline training throughput (B=8, K=8 —
+    the production run shape); vs_baseline = value / round-1's 23.7
+    whole-run steps/s (VERDICT r2 item 4: a deep-training regression must
+    be driver-visible).
 
 Uses the fastest available AR backend: the Pallas persistent kernel on TPU
 when present, else the lax.scan queue-cached path. Weights are random
@@ -41,9 +47,10 @@ SECONDS_PER_UTT = 1.0
 # fp32 is the measured optimum and keeps the bit-exact-vs-scan property.
 BATCH = 832
 CHUNK = 64
-# round-1 reference points (BASELINE.md) for the extras' vs_baseline
+# round-1/2 reference points (BASELINE.md) for the extras' vs_baseline
 R1_TRAIN_STEPS_PER_S = 140.0   # jitted-step measurement, config-2 B=8
 R1_DEEP_RTF = 0.00150          # deep bf16 streamed B=384 chunk 64
+R1_DEEP_TRAIN_STEPS_PER_S = 23.7   # deep 120k-step run whole-run average
 DEEP_BATCH = 384
 DEEP_CHUNK = 64
 
@@ -152,8 +159,8 @@ def bench_generation(preset, batch, chunk, dtype="float32", stream=False):
 
 
 def bench_training(preset="shallow_laplace_single", batch=8, k=8):
-    """Config-2 training throughput via multi_step_fn with pre-staged
-    batches (dispatch-amortized; tools/train_bench.py convention).
+    """Training throughput via multi_step_fn with pre-staged batches
+    (dispatch-amortized; tools/train_bench.py convention).
     Returns steps/s."""
     from shallow_wavenet_tpu.config import get_config
     from shallow_wavenet_tpu.training import Trainer
@@ -224,9 +231,29 @@ def main():
             "backend": deep_backend,
             "vs_baseline": round(R1_DEEP_RTF / deep_rtf, 4),
         }
+        # MFU of the saturated deep AR step (roofline accounting —
+        # exact per-step matmul FLOPs / v5e bf16 peak)
+        from shallow_wavenet_tpu.config import get_config
+        from tools.roofline import V5E_MXU_PEAK, flops_per_step_row
+
+        mc = get_config("deep_baseline").model
+        sr = get_config("deep_baseline").data.sample_rate
+        us_step = deep_rtf * DEEP_BATCH / sr * 1e6
+        tflops = flops_per_step_row(mc) * DEEP_BATCH / (us_step * 1e-6)
+        extras["deep_rtf"]["mfu"] = round(tflops / V5E_MXU_PEAK, 4)
+        extras["deep_rtf"]["us_step"] = round(us_step, 2)
     except Exception as e:  # noqa: BLE001
         log(f"[deep] FAILED: {type(e).__name__}: {e}")
         extras["deep_rtf"] = {"error": str(e)[:200]}
+    try:
+        dsps = bench_training("deep_baseline", batch=8, k=8)
+        extras["deep_train_steps_per_s"] = {
+            "value": round(dsps, 1), "unit": "steps/s",
+            "vs_baseline": round(dsps / R1_DEEP_TRAIN_STEPS_PER_S, 4),
+        }
+    except Exception as e:  # noqa: BLE001
+        log(f"[deep-train] FAILED: {type(e).__name__}: {e}")
+        extras["deep_train_steps_per_s"] = {"error": str(e)[:200]}
 
     print(json.dumps({
         "metric": f"rtf_per_chip_24k_laplace_b{BATCH}_{backend}",

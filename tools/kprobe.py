@@ -36,10 +36,11 @@ B = int(_pos[0]) if len(_pos) > 0 else 64
 CHUNK = int(_pos[1]) if len(_pos) > 1 else 128
 DT = _pos[2] if len(_pos) > 2 else "float32"
 PRESET = _kw.get("preset", "shallow_laplace_single")
+ONLY = _kw.get("only", "")           # comma-separated ablation filter
 T = 24000
 ABLATIONS = ("full", "no_cond", "no_prev", "no_buf", "no_resskip",
              "no_head", "no_sample", "matmuls_only", "cheap_gate",
-             "no_gate", "unroll2", "unroll4")
+             "no_gate", "unroll2", "unroll4", "split2", "gate_bf16")
 
 
 def build(cfg, ablate, wdt):
@@ -62,6 +63,51 @@ def build(cfg, ablate, wdt):
 
         cc0 = jnp.dot(cond_ref[0].astype(wdt), cond_wcat[:],
                       preferred_element_type=jnp.float32)
+
+        def body_split2(tt, h_carry):
+            """Two half-batch chains interleaved per layer: while one
+            half's gate runs on the VPU, the other half's matmul can
+            occupy the MXU (they are data-independent) — probing whether
+            Mosaic's scheduler exploits the ILP."""
+            t = i * CHUNK + tt
+            hb = B // 2
+            cc = jnp.dot(cond_ref[tt].astype(wdt), cond_wcat[:],
+                         preferred_element_type=jnp.float32)
+            hs = [h_carry[:hb], h_carry[hb:]]
+            skips = [jnp.zeros((hb, S), jnp.float32) for _ in range(2)]
+            for l in range(L):
+                slot = offs[l] + (t & (dil[l] - 1))
+                h_prev = bufs[slot]
+                us = [(jnp.dot(h_prev[q * hb:(q + 1) * hb], conv_w[l, 0],
+                               preferred_element_type=jnp.float32)
+                       + jnp.dot(hs[q], conv_w[l, 1],
+                                 preferred_element_type=jnp.float32)
+                       + cc[q * hb:(q + 1) * hb, l * 2 * gp:(l + 1) * 2 * gp])
+                      for q in range(2)]
+                zs = [(jnp.tanh(u[:, :gp]) * jax.nn.sigmoid(u[:, gp:])
+                       ).astype(wdt) for u in us]
+                bufs[slot] = jnp.concatenate(hs, axis=0)
+                hs = [(hs[q].astype(jnp.float32)
+                       + jnp.dot(zs[q], res_w[l],
+                                 preferred_element_type=jnp.float32)
+                       ).astype(wdt) for q in range(2)]
+                skips = [skips[q] + jnp.dot(zs[q], skip_w[l],
+                                            preferred_element_type=jnp.float32)
+                         for q in range(2)]
+            skip = jnp.concatenate(skips, axis=0)
+            o = jax.nn.relu(skip).astype(wdt)
+            o = jax.nn.relu(
+                jnp.dot(o, h1_w[:], preferred_element_type=jnp.float32)
+            ).astype(wdt)
+            o = jnp.dot(o, h2_w[:], preferred_element_type=jnp.float32)
+            mu, log_b = o[:, 0], jnp.clip(o[:, 1], -9.0, 3.0)
+            u_t = noise_ref[tt, :] - 0.5
+            x_t = mu - jnp.exp(log_b) * jnp.sign(u_t) * jnp.log1p(
+                -2.0 * jnp.abs(u_t))
+            x_t = jnp.clip(x_t, -1.0, 1.0)
+            out_ref[tt, :] = x_t
+            return (x_t[:, None].astype(wdt) * jnp.ones((1, R), wdt)
+                    + in_b[:][None, :]).astype(wdt)
 
         def body(tt, h_carry):
             t = i * CHUNK + tt
@@ -92,6 +138,12 @@ def build(cfg, ablate, wdt):
                     z = u[:, :gp].astype(wdt)
                 elif ablate == "cheap_gate":
                     z = (u[:, :gp] * u[:, gp:]).astype(wdt)
+                elif ablate == "gate_bf16":
+                    # transcendentals at the weight dtype (half the VPU
+                    # vregs when wdt is bf16)
+                    z = (jnp.tanh(u[:, :gp].astype(wdt))
+                         * jax.nn.sigmoid(u[:, gp:].astype(wdt))
+                         ).astype(wdt)
                 else:
                     z = (jnp.tanh(u[:, :gp]) * jax.nn.sigmoid(u[:, gp:])
                          ).astype(wdt)
@@ -131,7 +183,15 @@ def build(cfg, ablate, wdt):
             return (x_t[:, None].astype(wdt) * jnp.ones((1, R), wdt)
                     + in_b[:][None, :]).astype(wdt)
 
-        if ablate in ("unroll2", "unroll4"):
+        if ablate == "split2":
+            def bodyk2(j, h):
+                for q in range(4):       # match unroll4's loop overhead
+                    h = body_split2(j * 4 + q, h)
+                return h
+
+            fb_ref[...] = jax.lax.fori_loop(0, CHUNK // 4, bodyk2,
+                                            fb_ref[...])
+        elif ablate in ("unroll2", "unroll4"):
             k = 2 if ablate == "unroll2" else 4
 
             def bodyk(j, h):
@@ -204,7 +264,8 @@ def main():
     print(f"preset={PRESET} B={B} chunk={CHUNK} dtype={DT} "
           f"device={jax.devices()}")
     base = None
-    for ab in ABLATIONS:
+    abls = ([a for a in ONLY.split(",") if a] if ONLY else ABLATIONS)
+    for ab in abls:
         try:
             us = run(ab)
         except Exception as e:  # noqa: BLE001
