@@ -190,3 +190,24 @@ def test_masked_losses():
     full = heads.softmax_loss(logits, tgt)
     masked = heads.softmax_loss(logits, tgt, mask)
     np.testing.assert_allclose(float(full), float(masked), rtol=1e-6)
+
+
+def test_repeat_smooth_stage_equals_repeat_plus_conv():
+    """The collapsed phase-matmul upsampler stage == repeat(f) + SAME
+    conv(2f+1) with the SAME parameter tree (fp32 regrouping tolerance) —
+    the checkpoint-compatibility contract of RepeatSmoothStage."""
+    import flax.linen as nn
+
+    from shallow_wavenet_tpu.models.wavenet import RepeatSmoothStage
+
+    rng = np.random.default_rng(0)
+    for f, c_dim in ((4, 16), (5, 64), (2, 8)):
+        c = jnp.asarray(rng.standard_normal((3, 7, c_dim)), jnp.float32)
+        stage = RepeatSmoothStage(f, c_dim)
+        v = stage.init(jax.random.key(0), c)
+        y = stage.apply(v, c)
+        ref = nn.Conv(c_dim, kernel_size=(2 * f + 1,), padding="SAME")
+        y_ref = ref.apply({"params": v["params"]}, jnp.repeat(c, f, axis=1))
+        assert y.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-5)
