@@ -43,7 +43,15 @@ def test_upsampler_halo_recurrence():
 
 
 def test_streaming_upsample_matches_full():
-    """Haloed block upsampling == rows of the full-utterance upsample."""
+    """Haloed block upsampling == rows of the full-utterance upsample.
+
+    ulp tolerance, not bitwise: the phase-matmul upsampler stages
+    (RepeatSmoothStage) are GEMMs whose CPU lowering can pick a different
+    accumulation strategy for the windowed block's row count than for the
+    full utterance's (~1e-6 relative, observed only on the CPU backend;
+    per-row MXU matmuls are shape-invariant). The e2e contract — streamed
+    AR output == one batch kernel call — stays exact
+    (test_streaming_equals_batch)."""
     cfg, m, v, pp, frames, hop = setup_stream("laplace", F=40)
     syn = StreamingSynthesizer(pp, m, v, cfg, hop_length=hop, batch=2,
                                block_frames=32, chunk=64, interpret=True)
@@ -53,13 +61,13 @@ def test_streaming_upsample_matches_full():
                               method="upsample_cond"))
     # a middle block [8, 24) with halo context on both sides
     blk = syn._upsample_block(8, 24, last=False)
-    np.testing.assert_array_equal(blk, full[:, 8 * hop:24 * hop])
+    np.testing.assert_allclose(blk, full[:, 8 * hop:24 * hop], atol=2e-5)
     # the first block (true left edge)
     blk0 = syn._upsample_block(0, 16, last=False)
-    np.testing.assert_array_equal(blk0, full[:, :16 * hop])
+    np.testing.assert_allclose(blk0, full[:, :16 * hop], atol=2e-5)
     # the last block (true right edge)
     blkN = syn._upsample_block(24, 40, last=True)
-    np.testing.assert_array_equal(blkN, full[:, 24 * hop:])
+    np.testing.assert_allclose(blkN, full[:, 24 * hop:], atol=2e-5)
 
 
 @pytest.mark.parametrize("head", ["laplace", "softmax"])
