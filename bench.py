@@ -231,17 +231,23 @@ def main():
             "backend": deep_backend,
             "vs_baseline": round(R1_DEEP_RTF / deep_rtf, 4),
         }
-        # MFU of the saturated deep AR step (roofline accounting —
-        # exact per-step matmul FLOPs / v5e bf16 peak)
-        from shallow_wavenet_tpu.config import get_config
-        from tools.roofline import V5E_MXU_PEAK, flops_per_step_row
+        try:
+            # MFU of the saturated deep AR step (roofline accounting —
+            # exact per-step matmul FLOPs / v5e bf16 peak). Own guard: a
+            # roofline failure must not overwrite the measured deep_rtf
+            # (ADVICE r3 low)
+            from shallow_wavenet_tpu.config import get_config
+            from tools.roofline import V5E_MXU_PEAK, flops_per_step_row
 
-        mc = get_config("deep_baseline").model
-        sr = get_config("deep_baseline").data.sample_rate
-        us_step = deep_rtf * DEEP_BATCH / sr * 1e6
-        tflops = flops_per_step_row(mc) * DEEP_BATCH / (us_step * 1e-6)
-        extras["deep_rtf"]["mfu"] = round(tflops / V5E_MXU_PEAK, 4)
-        extras["deep_rtf"]["us_step"] = round(us_step, 2)
+            mc = get_config("deep_baseline").model
+            sr = get_config("deep_baseline").data.sample_rate
+            us_step = deep_rtf * DEEP_BATCH / sr * 1e6
+            tflops = flops_per_step_row(mc) * DEEP_BATCH / (us_step * 1e-6)
+            extras["deep_rtf"]["mfu"] = round(tflops / V5E_MXU_PEAK, 4)
+            extras["deep_rtf"]["us_step"] = round(us_step, 2)
+        except Exception as e:  # noqa: BLE001
+            log(f"[deep-mfu] FAILED (deep_rtf kept): "
+                f"{type(e).__name__}: {e}")
     except Exception as e:  # noqa: BLE001
         log(f"[deep] FAILED: {type(e).__name__}: {e}")
         extras["deep_rtf"] = {"error": str(e)[:200]}

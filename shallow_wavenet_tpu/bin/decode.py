@@ -72,14 +72,20 @@ def _run_tier_ladder(cfg: Config, batch: int, t_len: int, kernel_dtype: str,
     silently to scan)."""
     from shallow_wavenet_tpu.ops.ar_kernel import probe_pallas
 
+    fused_attempted = False
     for fz in (fused, 0) if fused else (0,):
-        if fused and fz == 0:
+        if fused and fz == 0 and fused_attempted:
+            # only warn when a fused tier was actually probed/run — a
+            # kernel_dtype filter that excluded every ladder entry is not
+            # a fused failure (ADVICE r3 low)
             log.warning("every fused=%d kernel tier failed to probe or "
                         "compile; retrying the ladder with --fused dropped",
                         fused)
         for dt, strm, chunk in PALLAS_TIERS:
             if kernel_dtype != "auto" and dt != kernel_dtype:
                 continue
+            if fz:
+                fused_attempted = True
             if not probe_pallas(cfg.model, batch=batch, chunk=chunk,
                                 dtype=dt, stream=strm, fused=fz):
                 log.debug("pallas tier %s%s chunk=%d failed probe at B=%d",

@@ -148,18 +148,23 @@ def _mcd_avg(cfg, eval_utts, gens):
 
 def run_parity(root, steps=2000, seed=0, log=print, noise_floor=True,
                head="laplace", n_eval=12,
-               floor_perturbs=(1e-7,), with_torch=True):
+               floor_perturbs=(1e-7,), with_torch=True,
+               torch_floor_perturbs=()):
     """Train both frameworks from the same init on the same batch stream,
     copy-synthesize the eval set with shared noise (N_DRAWS streams per
     utterance, MCD averaged), and — when noise_floor — train additional jax
     models from relatively-perturbed inits (one per entry of
     floor_perturbs) to measure the intra-framework chaos floor the
     inter-framework delta must be judged against as a DISTRIBUTION, not a
-    point (VERDICT r2 item 1). Returns {"jax": mcd, "torch": mcd,
-    "jax_perturbed": [mcd, ...], "jax_losses": [...],
+    point (VERDICT r2 item 1). torch_floor_perturbs additionally trains
+    TORCH legs from perturbed inits — symmetric evidence that the chaos
+    floor is framework-independent, not a JAX artifact (VERDICT r3
+    item 2). Returns {"jax": mcd, "torch": mcd, "jax_perturbed": [mcd,
+    ...], "torch_perturbed": [mcd, ...], "jax_losses": [...],
     "torch_losses": [...]}."""
     import dataclasses
 
+    import jax
     import torch
 
     from shallow_wavenet_tpu.data.dataset import SegmentSampler
@@ -217,6 +222,7 @@ def run_parity(root, steps=2000, seed=0, log=print, noise_floor=True,
         # skips the (3x more expensive) torch side entirely
         out["torch"] = None
         out["torch_losses"] = []
+        out["torch_perturbed"] = []
         return out
 
     quantize = None
@@ -227,34 +233,49 @@ def run_parity(root, steps=2000, seed=0, log=print, noise_floor=True,
             return torch.from_numpy(np.array(
                 mulaw_quantize(x.numpy(), cfg.model.quantize_channels)))
 
-    tp = ttr.params_to_torch(trainer.init_state().params)
+    init_params = trainer.init_state().params
     lr0, rate = cfg.train.learning_rate, cfg.train.lr_decay_rate
     trans = cfg.train.lr_decay_steps
     sched = lambda t: lr0 * rate ** (t / trans)   # noqa: E731 — optax twin
-    # ONE optimizer across all chunks: Adam moments and bias correction
-    # persist exactly like the optax chain's (ADVICE r2 medium)
-    opt = ttr.make_optimizer(tp, lr0)
-    torch_losses = []
-    chunk = 500
-    for s in range(0, steps, chunk):
-        torch_losses += ttr.train_steps(
-            tp, cfg.model, cfg.data.segment_length, batches[s:s + chunk],
-            lr=lr0, clip_norm=cfg.train.grad_clip_norm,
-            lr_schedule=sched, step_offset=s, opt=opt, quantize=quantize)
-        log(f"  torch step {min(s + chunk, steps)}: "
-            f"loss {torch_losses[-1]:.4f}")
 
-    gen_t = []
-    for u, noise in zip(eval_utts, noises):
-        with torch.no_grad():
-            c_up_t = ttr.upsample_cond(
-                tp, cfg.model,
-                torch.from_numpy(np.repeat(u.feats[None], N_DRAWS, axis=0)))
-        gen_t.append(ttr.generate_fast_torch(tp, cfg.model, c_up_t,
-                                             torch.from_numpy(noise)))
+    def _torch_leg(tp, tag):
+        """Train + decode one torch twin; returns (losses, mcd). ONE
+        optimizer across all chunks: Adam moments and bias correction
+        persist exactly like the optax chain's (ADVICE r2 medium)."""
+        opt = ttr.make_optimizer(tp, lr0)
+        losses = []
+        chunk = 500
+        for s in range(0, steps, chunk):
+            losses += ttr.train_steps(
+                tp, cfg.model, cfg.data.segment_length,
+                batches[s:s + chunk], lr=lr0,
+                clip_norm=cfg.train.grad_clip_norm,
+                lr_schedule=sched, step_offset=s, opt=opt,
+                quantize=quantize)
+            log(f"  {tag} step {min(s + chunk, steps)}: "
+                f"loss {losses[-1]:.4f}")
+        gens = []
+        for u, noise in zip(eval_utts, noises):
+            with torch.no_grad():
+                c_up_t = ttr.upsample_cond(
+                    tp, cfg.model, torch.from_numpy(
+                        np.repeat(u.feats[None], N_DRAWS, axis=0)))
+            gens.append(ttr.generate_fast_torch(
+                tp, cfg.model, c_up_t, torch.from_numpy(noise)))
+        return losses, _mcd_avg(cfg, eval_utts, gens)
 
-    out["torch_losses"] = torch_losses
-    out["torch"] = _mcd_avg(cfg, eval_utts, gen_t)
+    out["torch_losses"], out["torch"] = _torch_leg(
+        ttr.params_to_torch(init_params), "torch")
+    # torch-side chaos floors: same relative init perturbation, applied to
+    # the TORCH twin's init — if these deltas are in family with the JAX
+    # floors, the chaos floor is a property of fp32 AR training, not of
+    # either framework
+    out["torch_perturbed"] = []
+    for pert in torch_floor_perturbs:
+        tp_i = ttr.params_to_torch(jax.tree.map(
+            lambda p: p * (1.0 + pert), init_params))
+        _, mcd_i = _torch_leg(tp_i, f"torch-perturbed[{pert:g}]")
+        out["torch_perturbed"].append(mcd_i)
     return out
 
 
@@ -272,20 +293,40 @@ if __name__ == "__main__":
     ap.add_argument("--head", default="laplace",
                     choices=("laplace", "softmax"))
     ap.add_argument("--n-eval", type=int, default=12)
-    ap.add_argument("--floors", type=float, nargs="*", default=[1e-7],
-                    help="relative init perturbations, one chaos-floor "
-                         "training run each (empty = skip the floor legs)")
+    # comma-separated (not nargs) so negative scientific-notation values
+    # like -1e-7 survive argparse's option matcher
+    floats = lambda s: [float(x) for x in s.split(",") if x]  # noqa: E731
+    ap.add_argument("--floors", type=floats, default=[1e-7],
+                    help="comma-separated relative init perturbations, one "
+                         "chaos-floor training run each ('' = skip)")
+    ap.add_argument("--torch-floors", type=floats, default=[],
+                    help="comma-separated relative init perturbations "
+                         "applied to the TORCH twin's init, one extra torch"
+                         " training leg each (torch-side chaos-floor "
+                         "samples; implies the torch baseline leg)")
     ap.add_argument("--json", default=None,
                     help="append the result as one JSON line to this file")
     ap.add_argument("--no-torch", action="store_true",
                     help="floors-only: skip the torch leg (cheap extra "
                          "chaos-floor samples)")
     a = ap.parse_args()
+    if a.torch_floors and a.no_torch:
+        ap.error("--torch-floors needs the torch baseline leg "
+                 "(drop --no-torch)")
+    for vals, name in ((a.floors, "--floors"),
+                       (a.torch_floors, "--torch-floors")):
+        if len(set(vals)) != len(vals):
+            # training is DETERMINISTIC given (init, batch stream): two
+            # identical perturbations produce bit-identical trajectories,
+            # not independent floor samples (r4 measured: exact dup)
+            ap.error(f"duplicate {name} values would be bit-identical "
+                     "runs; vary sign, magnitude, or the seed instead")
     with tempfile.TemporaryDirectory() as root:
         r = run_parity(root, steps=a.steps, seed=a.seed, head=a.head,
                        n_eval=a.n_eval, floor_perturbs=tuple(a.floors),
                        noise_floor=bool(a.floors),
-                       with_torch=not a.no_torch)
+                       with_torch=not a.no_torch,
+                       torch_floor_perturbs=tuple(a.torch_floors))
     mj, mt = r["jax"], r["torch"]
     if mt is not None:
         print(f"steps={a.steps} seed={a.seed} head={a.head}: "
@@ -297,14 +338,24 @@ if __name__ == "__main__":
     for pert, mj2 in zip(a.floors, r["jax_perturbed"]):
         print(f"  chaos floor (jax vs jax*(1+{pert:g}) init): "
               f"jax2 {mj2:.3f} dB, |delta| {abs(mj - mj2):.3f} dB")
+    for pert, mt2 in zip(a.torch_floors, r["torch_perturbed"]):
+        print(f"  chaos floor (torch vs torch*(1+{pert:g}) init): "
+              f"torch2 {mt2:.3f} dB, |delta| {abs(mt - mt2):.3f} dB")
     if a.json:
+        # floors as [perturbation, delta] PAIRS, not a dict — duplicate
+        # magnitudes (legitimate repeated samples) must not collapse to
+        # one key (ADVICE r3 low)
         rec = {"steps": a.steps, "seed": a.seed, "head": a.head,
                "n_eval": a.n_eval, "n_draws": N_DRAWS,
                "jax": mj, "torch": mt,
                "delta": abs(mj - mt) if mt is not None else None,
-               "floors": {str(p): abs(mj - m)
-                          for p, m in zip(a.floors, r["jax_perturbed"])},
+               "floors": [[p, abs(mj - m)]
+                          for p, m in zip(a.floors, r["jax_perturbed"])],
+               "torch_floors": [[p, abs(mt - m)]
+                                for p, m in zip(a.torch_floors,
+                                                r["torch_perturbed"])],
                "jax_perturbed": r["jax_perturbed"],
+               "torch_perturbed": r["torch_perturbed"],
                "final_loss_jax": r["jax_losses"][-1]}
         if r["torch_losses"]:
             rec["final_loss_torch"] = r["torch_losses"][-1]
