@@ -259,9 +259,15 @@ void swt_f0_estimate(const float* x, int64_t t, double sample_rate, int hop,
   }
 }
 
-// Band aperiodicity, the exact algorithm of ops/f0.py band_aperiodicity:
-// per band, 1 - window-de-biased normalized band-limited autocorrelation at
-// the (rounded) F0 lag; 1.0 where unvoiced.
+// Band aperiodicity, the exact algorithm of ops/f0.py _bap_pass (one
+// fixed-window pass; the F0-adaptive window selection across passes lives
+// in utils/native.py, mirroring ops/f0.band_aperiodicity): per band,
+// 1 - window-de-biased normalized band-limited autocorrelation at the
+// FRACTIONAL F0 lag, the lag first refined by maximizing the full-band
+// fractional autocorrelation over a small offset grid; 1.0 where
+// unvoiced. The fractional-lag autocorrelation is evaluated directly in
+// the frequency domain: ac(tau) = sum_k w_k |X_k|^2 cos(omega k tau)
+// over rFFT bins (w = 2 except DC/Nyquist) — no inverse FFT per band.
 // out: (n_frames, n_bands) float32 row-major.
 void swt_band_aperiodicity(const float* x, int64_t t, const float* f0,
                            double sample_rate, int hop, int win, int n_bands,
@@ -270,47 +276,65 @@ void swt_band_aperiodicity(const float* x, int64_t t, const float* f0,
   const size_t n_bins = n_fft / 2 + 1;
   const std::vector<double> w = hann(win);
   const std::vector<double> wac = window_autocorr(w, n_fft);
+  const double omega = 2.0 * kPi / static_cast<double>(n_fft);
+  // np.linspace(-0.6, 0.6, 7) — the full-band lag refinement grid
+  const double offs[7] = {-0.6, -0.4, -0.2, 0.0, 0.2, 0.4, 0.6};
 
   // band edges: np.linspace(0, n_bins, n_bands + 1).astype(int)
   std::vector<size_t> edges(n_bands + 1);
   for (int b = 0; b <= n_bands; ++b)
     edges[b] = static_cast<size_t>(static_cast<double>(n_bins) * b / n_bands);
 
-  std::vector<double> frame, re, im, bre, bim;
+  std::vector<double> frame, re, im, pw(n_bins);
   for (int64_t f = 0; f < n_frames; ++f) {
+    const double f0v = f0[f];
+    if (f0v <= 0.0) {
+      for (int b = 0; b < n_bands; ++b) out[f * n_bands + b] = 1.0f;
+      continue;
+    }
     window_frame(x, t, win, hop, f, w, /*remove_mean=*/true, frame);
     re.assign(n_fft, 0.0);
     im.assign(n_fft, 0.0);
     for (size_t i = 0; i < frame.size(); ++i) re[i] = frame[i];
     fft(re, im, /*inverse=*/false);
-    // full power spectrum; band masks act on rFFT bins [0, n_bins) and
-    // their conjugate mirror (jnp irfft of a masked rfft power spectrum)
-    std::vector<double> power(n_fft);
-    for (size_t i = 0; i < n_fft; ++i) power[i] = re[i] * re[i] + im[i] * im[i];
+    // irfft-weighted rFFT power: 2x interior bins, 1x DC and Nyquist
+    for (size_t k = 0; k < n_bins; ++k) {
+      const double p = re[k] * re[k] + im[k] * im[k];
+      pw[k] = (k == 0 || k == n_fft / 2) ? p : 2.0 * p;
+    }
 
-    const double f0v = f0[f];
-    const double lag = f0v > 0.0 ? sample_rate / std::max(f0v, 1.0) : 0.0;
-    int64_t li = static_cast<int64_t>(std::llround(lag));
+    const auto ac_at = [&](double tau, size_t lo, size_t hi) {
+      double s = 0.0;
+      for (size_t k = lo; k < hi; ++k) s += pw[k] * std::cos(omega * tau * k);
+      return s;
+    };
+
+    // refine the lag on the FULL-band fractional autocorrelation (first
+    // max wins ties, matching jnp.argmax)
+    const double lag0 = sample_rate / std::max(f0v, 1.0);
+    double lag = lag0 + offs[0];
+    double best = ac_at(lag, 0, n_bins);
+    for (int o = 1; o < 7; ++o) {
+      const double v = ac_at(lag0 + offs[o], 0, n_bins);
+      if (v > best) {
+        best = v;
+        lag = lag0 + offs[o];
+      }
+    }
+    // window de-bias at the fractional lag (linear interp of wac)
+    int64_t li = static_cast<int64_t>(std::floor(lag));
     li = std::min(std::max<int64_t>(li, 0),
-                  static_cast<int64_t>(n_fft) - 1);
+                  static_cast<int64_t>(n_fft) - 2);
+    const double fr = lag - static_cast<double>(li);
+    const double wl = wac[li] * (1.0 - fr) + wac[li + 1] * fr;
 
     for (int b = 0; b < n_bands; ++b) {
-      if (f0v <= 0.0) {
-        out[f * n_bands + b] = 1.0f;
-        continue;
-      }
-      // masked power -> autocorrelation. Mirror the rfft-bin mask onto the
-      // full spectrum: bin i and n_fft - i carry the same rfft bin.
-      bre.assign(n_fft, 0.0);
-      bim.assign(n_fft, 0.0);
-      for (size_t i = edges[b]; i < edges[b + 1]; ++i) {
-        bre[i] = power[i];
-        if (i != 0 && i != n_fft / 2) bre[n_fft - i] = power[n_fft - i];
-      }
-      fft(bre, bim, /*inverse=*/true);
-      const double ac0 = std::max(bre[0], 1e-12);
+      double ac0 = 0.0;
+      for (size_t k = edges[b]; k < edges[b + 1]; ++k) ac0 += pw[k];
+      ac0 = std::max(ac0, 1e-12);
+      const double acl = ac_at(lag, edges[b], edges[b + 1]);
       const double ap =
-          1.0 - std::min(std::max(bre[li] / (ac0 * wac[li]), 0.0), 1.0);
+          1.0 - std::min(std::max(acl / (ac0 * wl), 0.0), 1.0);
       out[f * n_bands + b] = static_cast<float>(ap);
     }
   }

@@ -154,20 +154,40 @@ def f0_native(x: np.ndarray, sample_rate: int, hop_length: int,
     return f0, vuv
 
 
+def _bap_pass_native(lib, x, f0, sample_rate, hop_length, win_length,
+                     n_bands):
+    n = min(_n_frames_centered(x.size, win_length, hop_length), f0.shape[0])
+    f0c = np.ascontiguousarray(f0[:n], np.float32)
+    out = np.empty((n, n_bands), np.float32)
+    lib.swt_band_aperiodicity(_fp(x), x.size, _fp(f0c), float(sample_rate),
+                              hop_length, win_length, n_bands, _fp(out), n)
+    return out
+
+
 def band_aperiodicity_native(x: np.ndarray, f0: np.ndarray,
                              sample_rate: int, hop_length: int,
                              win_length: int = 0, n_bands: int = 4
                              ) -> np.ndarray:
-    """Native twin of ops/f0.band_aperiodicity."""
+    """Native twin of ops/f0.band_aperiodicity (win_length=0 runs the same
+    F0-adaptive window-length passes and per-frame selection)."""
     lib = load_native()
-    if win_length == 0:
-        win_length = _f0_win(sample_rate, 70.0)
     x = np.ascontiguousarray(x, np.float32)
-    n = min(_n_frames_centered(x.size, win_length, hop_length), f0.shape[0])
-    f0 = np.ascontiguousarray(f0[:n], np.float32)
-    out = np.empty((n, n_bands), np.float32)
-    lib.swt_band_aperiodicity(_fp(x), x.size, _fp(f0), float(sample_rate),
-                              hop_length, win_length, n_bands, _fp(out), n)
+    if win_length:
+        return _bap_pass_native(lib, x, f0, sample_rate, hop_length,
+                                win_length, n_bands)
+    refs = (70.0, 110.0, 170.0, 260.0)
+    passes = []
+    for f0_ref in refs:
+        w = int(2.5 * sample_rate / f0_ref)
+        w += w % 2
+        passes.append(_bap_pass_native(lib, x, f0, sample_rate, hop_length,
+                                       w, n_bands))
+    out = passes[0]
+    for f0_ref, ap in zip(refs[1:], passes[1:]):
+        n = min(out.shape[0], ap.shape[0])
+        out, ap = out[:n], ap[:n]
+        sel = np.asarray(f0[:n]) >= f0_ref
+        out[sel] = ap[sel]
     return out
 
 
