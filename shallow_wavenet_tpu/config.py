@@ -36,6 +36,15 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # MXU-friendly; params stay float32
     log_b_min: float = -9.0     # Laplace scale clamp (SURVEY.md §A.3)
     log_b_max: float = 3.0
+    # fold the k causal-conv taps into ONE (B*T, k*R) @ (k*R, G)
+    # contraction instead of k separate K=R contractions: doubles the MXU
+    # contraction depth of the training stack's hottest matmul (shallow
+    # R=64 -> K=128 = full MXU depth) at the cost of materializing the
+    # concatenated tap activations. Identical math and parameter tree
+    # (sum over taps == contraction over the concatenated axis);
+    # outputs equal to fp32 regrouping tolerance. Measured r4 — see
+    # BASELINE.md training-throughput table
+    fold_taps: bool = False
 
     @property
     def dilations(self) -> tuple[int, ...]:
@@ -106,6 +115,16 @@ class TrainConfig:
     # Identical math to K separate calls; amortizes the host->device
     # dispatch latency, which dominates wall clock for small models
     steps_per_call: int = 1
+    # in-dispatch gradient accumulation: split each batch into N
+    # microbatches, lax.scan the grads, ONE optimizer update on their
+    # mean. Identical math to one big-batch step (mean-of-means over
+    # equal microbatches; clip applied to the accumulated grad), but each
+    # backward runs at B/N — the workaround for the XLA backward-pass
+    # batch cliff beyond B~12 on v5e (BASELINE.md r3: B=16 backward is
+    # 3.9x B=8; with grad_accum, effective B=32 trains at 4x the B=8
+    # per-microbatch cost instead of 4 x 3.9x). batch_size % grad_accum
+    # must be 0
+    grad_accum: int = 1
 
 
 @dataclass(frozen=True)

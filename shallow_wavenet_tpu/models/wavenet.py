@@ -42,6 +42,7 @@ class CausalDilatedConv(nn.Module):
     kernel_size: int = 2
     dilation: int = 1
     dtype: Any = jnp.float32
+    fold_taps: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -54,15 +55,27 @@ class CausalDilatedConv(nn.Module):
         pad = (k - 1) * d
         t = x.shape[1]
         xp = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
-        y = jnp.zeros(x.shape[:2] + (self.features,), dtype=jnp.float32)
-        for i in range(k):
-            tap = jax.lax.dynamic_slice_in_dim(xp, i * d, t, axis=1)
-            y = y + jnp.einsum(
+        taps = [jax.lax.dynamic_slice_in_dim(xp, i * d, t, axis=1)
+                for i in range(k)]
+        if self.fold_taps:
+            # one K = k*c_in contraction (full MXU depth for R=64 k=2):
+            # sum over taps == contraction over the concatenated axis, so
+            # the parameter tree is unchanged (config.py model.fold_taps)
+            y = jnp.einsum(
                 "btc,cf->btf",
-                tap.astype(self.dtype),
-                kernel[i].astype(self.dtype),
+                jnp.concatenate(taps, axis=-1).astype(self.dtype),
+                kernel.reshape(k * c_in, self.features).astype(self.dtype),
                 preferred_element_type=jnp.float32,
             )
+        else:
+            y = jnp.zeros(x.shape[:2] + (self.features,), dtype=jnp.float32)
+            for i in range(k):
+                y = y + jnp.einsum(
+                    "btc,cf->btf",
+                    taps[i].astype(self.dtype),
+                    kernel[i].astype(self.dtype),
+                    preferred_element_type=jnp.float32,
+                )
         return (y + bias).astype(self.dtype)
 
 
@@ -100,13 +113,14 @@ class ResidualBlock(nn.Module):
     kernel_size: int
     dilation: int
     dtype: Any = jnp.float32
+    fold_taps: bool = False
 
     @nn.compact
     def __call__(self, x, c):
         # single conv producing both filter and gate halves
         h = CausalDilatedConv(
             self.gate_channels, self.kernel_size, self.dilation,
-            dtype=self.dtype, name="conv",
+            dtype=self.dtype, fold_taps=self.fold_taps, name="conv",
         )(x)
         hc = Dense1x1(self.gate_channels, dtype=self.dtype, use_bias=False,
                       name="cond")(c)
@@ -225,7 +239,8 @@ class WaveNet(nn.Module):
         self.layers = [
             ResidualBlock(
                 cfg.residual_channels, cfg.gate_channels, cfg.skip_channels,
-                cfg.kernel_size, d, dtype=dt, name=f"layer{li}",
+                cfg.kernel_size, d, dtype=dt, fold_taps=cfg.fold_taps,
+                name=f"layer{li}",
             )
             for li, d in enumerate(cfg.dilations)
         ]

@@ -124,7 +124,35 @@ class Trainer:
         return loss
 
     def _step_core(self, state: TrainState, batch):
-        loss, grads = jax.value_and_grad(self._loss_fn)(state.params, batch)
+        accum = max(1, int(self.cfg.train.grad_accum))
+        if accum == 1:
+            loss, grads = jax.value_and_grad(self._loss_fn)(state.params,
+                                                            batch)
+        else:
+            # in-dispatch gradient accumulation: scan N microbatches of
+            # B/N rows, mean the grads, ONE optimizer update — the same
+            # math as a big-batch step, at the per-microbatch backward
+            # cost (the B>12 XLA backward cliff workaround; config.py
+            # train.grad_accum)
+            b = batch["x"].shape[0]
+            if b % accum:
+                raise ValueError(
+                    f"batch_size {b} not divisible by grad_accum {accum}")
+            micro = jax.tree.map(
+                lambda v: v.reshape((accum, b // accum) + v.shape[1:]),
+                batch)
+
+            def body(carry, mb):
+                l_acc, g_acc = carry
+                l_i, g_i = jax.value_and_grad(self._loss_fn)(state.params,
+                                                             mb)
+                return (l_acc + l_i, jax.tree.map(jnp.add, g_acc, g_i)), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (l_sum, g_sum), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zeros), micro)
+            loss = l_sum / accum
+            grads = jax.tree.map(lambda g: g / accum, g_sum)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)

@@ -211,3 +211,19 @@ def test_repeat_smooth_stage_equals_repeat_plus_conv():
         assert y.shape == y_ref.shape
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    atol=1e-5)
+
+
+def test_fold_taps_matches_unfolded():
+    """model.fold_taps=True (one K=k*R contraction per conv) must produce
+    the same outputs from the same parameter tree as the per-tap sum —
+    the MXU-depth training probe's correctness contract (config.py
+    model.fold_taps)."""
+    cfg = tiny_cfg()
+    cfg_f = dataclasses.replace(cfg, fold_taps=True)
+    x, c, spk = make_inputs(cfg)
+    m, mf = WaveNet(cfg), WaveNet(cfg_f)
+    v = randomize_head(m.init(jax.random.key(0), x, c))
+    y = m.apply(v, x, c)
+    yf = mf.apply(v, x, c)           # identical tree, folded compute
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yf),
+                               rtol=2e-5, atol=2e-6)

@@ -169,3 +169,47 @@ def test_multi_step_handles_remainder_and_resume(tmp_path):
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accum_matches_big_batch():
+    """train.grad_accum=N (N microbatches scanned inside the dispatch,
+    mean grad, one update) must match the single big-batch step — the
+    B>12 backward-cliff workaround's correctness contract (BASELINE.md
+    r3; config.py train.grad_accum)."""
+    import dataclasses
+
+    cfg1 = tiny_train_cfg("laplace")
+    cfg1.data = dataclasses.replace(cfg1.data, batch_size=4)
+    cfg2 = tiny_train_cfg("laplace")
+    cfg2.data = dataclasses.replace(cfg2.data, batch_size=4)
+    cfg2.train = dataclasses.replace(cfg2.train, grad_accum=4)
+    tr1, tr2 = Trainer(cfg1), Trainer(cfg2)
+    s1, s2 = tr1.init_state(), tr2.init_state()
+    sampler = make_sampler(cfg1, n_utts=2)
+    for _ in range(6):
+        b = next(sampler)
+        b.pop("speaker", None)
+        s1, m1 = tr1.step_fn(s1, b)
+        s2, m2 = tr2.step_fn(s2, b)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_grad_accum_indivisible_batch_raises():
+    import dataclasses
+
+    import pytest
+
+    cfg = tiny_train_cfg("laplace")
+    cfg.data = dataclasses.replace(cfg.data, batch_size=2)
+    cfg.train = dataclasses.replace(cfg.train, grad_accum=3)
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    sampler = make_sampler(cfg)
+    b = next(sampler)
+    b.pop("speaker", None)
+    with pytest.raises(ValueError, match="grad_accum"):
+        tr.step_fn(state, b)

@@ -5,6 +5,13 @@ batches of the given preset's geometry and reports MFU from XLA's own
 FLOPs cost analysis of the compiled step (VERDICT r2 item 4: training
 throughput needs a roofline row, not just steps/s). Usage:
   python tools/train_bench.py [preset] [batch] [K ...] [segment=N]
+                              [accum=N] [fold=0|1]
+
+accum=N turns on in-dispatch gradient accumulation (train.grad_accum):
+`batch` stays the EFFECTIVE batch; each backward runs at batch/N rows —
+the B>12 XLA backward-cliff workaround's throughput row (BASELINE.md r3).
+fold=1 folds the causal-conv taps into one K=k*R contraction
+(model.fold_taps — the shallow-MFU probe of VERDICT r3 item 4).
 """
 
 import os
@@ -30,6 +37,8 @@ PRESET = _pos[0] if len(_pos) > 0 else "shallow_laplace_single"
 BATCH = int(_pos[1]) if len(_pos) > 1 else 8
 KS = [int(a) for a in _pos[2:]] or [1, 8, 32]
 SEGMENT = int(_kw.get("segment", 0))
+ACCUM = int(_kw.get("accum", 1))
+FOLD = bool(int(_kw.get("fold", "0")))
 
 # v5e bf16 MXU peak; the presets train with compute_dtype=bfloat16
 V5E_PEAK = 197e12
@@ -42,6 +51,10 @@ def main():
     cfg.data = dataclasses.replace(cfg.data, batch_size=BATCH,
                                    **({"segment_length": SEGMENT}
                                       if SEGMENT else {}))
+    if ACCUM > 1:
+        cfg.train = dataclasses.replace(cfg.train, grad_accum=ACCUM)
+    if FOLD:
+        cfg.model = dataclasses.replace(cfg.model, fold_taps=True)
     tr = Trainer(cfg)
     state = tr.init_state()
     rf = cfg.model.receptive_field
@@ -59,7 +72,8 @@ def main():
         }
 
     n_samples = BATCH * total
-    print(f"{PRESET} B={BATCH} segment+rf={total} samples/batch={n_samples} "
+    print(f"{PRESET} B={BATCH}{f' accum={ACCUM}' if ACCUM > 1 else ''} "
+          f"segment+rf={total} samples/batch={n_samples} "
           f"device={jax.devices()}")
     # XLA's own FLOPs count of the compiled fwd+bwd step -> MFU. (The
     # count is of the HLO as written — fp32 ops in a bf16-peak
