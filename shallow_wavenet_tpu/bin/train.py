@@ -68,6 +68,7 @@ def main(argv=None):
         hop_length=cfg.data.hop_length,
         receptive_field=cfg.model.receptive_field,
         seed=cfg.train.seed,
+        silence_boost=cfg.data.silence_boost,
     )
 
     eval_batches = None

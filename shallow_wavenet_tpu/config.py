@@ -83,6 +83,13 @@ class DataConfig:
     # (CheapTrick's core idea; world features only — the mcep then tracks
     # the envelope rather than harmonic peaks on strongly voiced frames)
     envelope_smoothing: bool = False
+    # silence-aware segment sampling: this fraction of training draws is
+    # forced to come from segments containing >=10% silent frames (frame
+    # energy 40 dB below the utterance's peak frame). Silence is rare in
+    # random crops, so deep AR models under-learn to stay quiet and
+    # destabilize in long silent stretches (BASELINE.md r3 deep speechlike
+    # row); 0.0 = off (exact round-3 sampling stream)
+    silence_boost: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -53,7 +53,7 @@ class SegmentSampler:
 
     def __init__(self, utterances: list[Utterance], *, batch_size: int,
                  segment_length: int, hop_length: int, receptive_field: int,
-                 seed: int = 0):
+                 seed: int = 0, silence_boost: float = 0.0):
         if segment_length % hop_length != 0:
             raise ValueError("segment_length must be a multiple of hop_length")
         self.utts = utterances
@@ -70,6 +70,30 @@ class SegmentSampler:
         if not usable:
             raise ValueError("no utterance long enough for segment_length")
         self.utts = usable
+        # silence-aware sampling (data.silence_boost): pool of (utt, start
+        # frame) whose segment contains >= 10% silent frames; that fraction
+        # of draws is redirected to the pool. boost=0 consumes NO extra RNG
+        # draws, so existing streams/checkpoints replay identically
+        self.silence_boost = float(silence_boost)
+        self._sil_pool: list[tuple[int, int]] = (
+            self._build_silence_pool() if self.silence_boost > 0 else [])
+
+    def _build_silence_pool(self) -> list[tuple[int, int]]:
+        pool = []
+        seg_frames = self.min_frames
+        need = max(1, seg_frames // 10)
+        for ui, u in enumerate(self.utts):
+            n_frames = min(u.feats.shape[0], len(u.wav) // self.hop)
+            fe = (u.wav[: n_frames * self.hop]
+                  .reshape(n_frames, self.hop) ** 2).mean(axis=1)
+            sil = fe < fe.max() * 1e-4          # 40 dB below peak frame
+            if not sil.any():
+                continue
+            csum = np.concatenate([[0], np.cumsum(sil)])
+            for f0 in range(n_frames - seg_frames + 1):
+                if csum[f0 + seg_frames] - csum[f0] >= need:
+                    pool.append((ui, f0))
+        return pool
 
     def state(self) -> dict:
         """Serializable iterator state for checkpoint/resume (SURVEY.md §5.4)."""
@@ -79,10 +103,17 @@ class SegmentSampler:
         self.rng.bit_generator.state = state["bit_generator_state"]
 
     def _draw_one(self):
-        u = self.utts[self.rng.integers(len(self.utts))]
-        n_frames = u.feats.shape[0]
         seg_frames = self.seg // self.hop
-        f0 = int(self.rng.integers(0, n_frames - seg_frames + 1))
+        if (self._sil_pool
+                and self.rng.random() < self.silence_boost):
+            ui, f0 = self._sil_pool[
+                int(self.rng.integers(len(self._sil_pool)))]
+            u = self.utts[ui]
+        else:
+            u = self.utts[self.rng.integers(len(self.utts))]
+            n_frames = u.feats.shape[0]
+            f0 = int(self.rng.integers(0, n_frames - seg_frames + 1))
+        n_frames = u.feats.shape[0]
         s0 = f0 * self.hop
         total = self.pad + self.seg
         # waveform with left context (zeros before utterance start)

@@ -194,3 +194,39 @@ def test_speechlike_corpus(tmp_path):
     lists = make_corpus(tmp_path, n_train=2, n_eval=1, sample_rate=8000,
                         style="speechlike")
     assert len(lists["train"]) == 2
+
+
+def test_silence_boost_oversamples_silence():
+    """data.silence_boost redirects that fraction of draws to segments
+    containing >=10% silent frames; boost=0 must leave the draw stream
+    bit-identical (checkpoint/resume compatibility)."""
+    from shallow_wavenet_tpu.data.dataset import SegmentSampler, Utterance
+
+    rng = np.random.default_rng(0)
+    hop, seg = 80, 800
+    # one utterance: loud half, silent half
+    wav = np.concatenate([
+        rng.uniform(-0.5, 0.5, 4000).astype(np.float32),
+        np.zeros(4000, np.float32)])
+    feats = rng.standard_normal((100, 8)).astype(np.float32)
+    utts = [Utterance(wav=wav, feats=feats)]
+    kw = dict(batch_size=4, segment_length=seg, hop_length=hop,
+              receptive_field=127, seed=3)
+
+    def silent_frac(sampler, n=50):
+        hits = 0
+        for _ in range(n):
+            b = next(sampler)
+            tail = b["x"][:, -seg:]
+            fe = (tail.reshape(tail.shape[0], -1, hop) ** 2).mean(axis=-1)
+            hits += int(((fe < 1e-8).mean(axis=1) >= 0.1).sum())
+        return hits / (n * 4)
+
+    base = silent_frac(SegmentSampler(utts, **kw))
+    boosted = silent_frac(SegmentSampler(utts, silence_boost=0.8, **kw))
+    assert boosted > base + 0.2, (base, boosted)
+    # boost=0: identical stream to the knob-less sampler
+    a = SegmentSampler(utts, **kw)
+    b = SegmentSampler(utts, silence_boost=0.0, **kw)
+    for _ in range(5):
+        np.testing.assert_array_equal(next(a)["x"], next(b)["x"])

@@ -70,6 +70,12 @@ def main():
           f" max {lat.max():.1f}  (block = {block_ms:.1f} ms audio)")
     print(f"steady-state RTF {lat.mean() / block_ms:.3f} "
           f"(total incl. compile: {total:.1f}s)")
+    # multi-stream serving shape (VERDICT r3 item 6): B concurrent
+    # sessions ride one batched kernel, so each push emits B blocks —
+    # per-stream latency is the line above; this is the aggregate
+    agg = B * block_ms / lat.mean()
+    print(f"aggregate: {B} streams x {block_ms:.1f} ms/push -> "
+          f"{agg / 1e3:.2f} audio-s/s (aggregate RTF {1.0 / agg * 1e3:.4f})")
 
 
 if __name__ == "__main__":
