@@ -124,3 +124,29 @@ def test_shard_map_generation_matches_unsharded():
     mesh = make_mesh(MeshConfig())
     out = np.asarray(generate_dp(pp, cfg, c_up, noise, mesh))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_dp_grad_accum_matches_plain_dp():
+    """train.grad_accum under the 8-device mesh: the in-jit microbatch
+    reshape must compose with NamedSharding (each microbatch re-shards
+    across the data axis) and reproduce the plain DP step's update."""
+    cfg = tiny_train_cfg("laplace")
+    cfg.data = dataclasses.replace(cfg.data, batch_size=16)
+    cfg_a = tiny_train_cfg("laplace")
+    cfg_a.data = dataclasses.replace(cfg_a.data, batch_size=16)
+    cfg_a.train = dataclasses.replace(cfg_a.train, grad_accum=2)
+
+    sampler = make_sampler(cfg)
+    batch = next(sampler)
+    mesh = make_mesh(MeshConfig())
+    tr = Trainer(cfg, mesh)
+    s = tr.init_state()
+    s, m = tr.step_fn(s, tr.shard_batch(batch))
+    tra = Trainer(cfg_a, mesh)
+    sa = tra.init_state()
+    sa, ma = tra.step_fn(sa, tra.shard_batch(batch))
+    np.testing.assert_allclose(float(m["loss"]), float(ma["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s.params), jax.tree.leaves(sa.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
