@@ -12,7 +12,7 @@ import pytest
 
 from shallow_wavenet_tpu.models import WaveNet, extract_plain_params
 from shallow_wavenet_tpu.models.streaming import (
-    StreamingSynthesizer, upsampler_halo,
+    StreamingSynthesizer, StreamPool, upsampler_halo,
 )
 from shallow_wavenet_tpu.ops.ar_kernel import generate_pallas
 
@@ -131,6 +131,87 @@ def test_streaming_rejects_bad_shapes():
     syn.flush()
     with pytest.raises(RuntimeError):
         syn.push(frames)
+
+
+def _standalone(cfg, m, v, pp, hop, frames_1xF, seed, bf=32, head_kw=None):
+    """Oracle: a batch=1 session fed the whole stream at once."""
+    syn = StreamingSynthesizer(pp, m, v, cfg, hop_length=hop, batch=1,
+                               block_frames=bf, chunk=64, seed=seed,
+                               interpret=True)
+    return np.concatenate([syn.push(frames_1xF), syn.flush()], axis=1)[0]
+
+
+def test_pool_streams_match_standalone_sessions():
+    """Staggered multi-tenant serving through StreamPool: three streams of
+    different lengths share two slots (one joins mid-flight, one reuses a
+    freed slot), and every stream's pooled output must be bit-identical to
+    a standalone batch=1 session with the same seed."""
+    cfg, m, v, pp, _, hop = setup_stream("laplace", F=4)
+    rng = np.random.default_rng(42)
+    C = cfg.aux_channels
+    fr = {k: rng.standard_normal((n, C)).astype(np.float32)
+          for k, n in (("a", 100), ("b", 80), ("c", 70))}
+    seeds = {"a": 11, "b": 22, "c": 33}
+
+    pool = StreamPool(pp, m, v, cfg, hop_length=hop, slots=2,
+                      block_frames=32, chunk=64, interpret=True)
+    got = {k: [] for k in fr}
+    sid = {}
+
+    def collect(out):
+        for s, w in out.items():
+            got[name_of[s]].append(w)
+
+    sid["a"] = pool.open(seed=seeds["a"])
+    name_of = {sid["a"]: "a"}
+    pool.push(sid["a"], fr["a"][:50])
+    collect(pool.step())                       # a: first block
+    sid["b"] = pool.open(seed=seeds["b"])
+    name_of[sid["b"]] = "b"
+    pool.push(sid["b"], fr["b"][:40])
+    pool.push(sid["a"], fr["a"][50:])
+    shared = pool.step()                       # a mid + b first, one cycle
+    assert set(shared) == {sid["a"], sid["b"]}
+    collect(shared)
+    pool.end(sid["a"])
+    with pytest.raises(RuntimeError):
+        pool.open(seed=9)                      # both slots busy
+    while sid["a"] in pool.active:             # a's tail; slot frees
+        collect(pool.step())
+    sid["c"] = pool.open(seed=seeds["c"])      # reuses a's slot
+    name_of[sid["c"]] = "c"
+    pool.push(sid["c"], fr["c"])
+    pool.push(sid["b"], fr["b"][40:])
+    pool.end(sid["b"])
+    pool.end(sid["c"])
+    for _ in range(50):
+        if not pool.active:
+            break
+        collect(pool.step())
+    assert not pool.active and pool.dispatches >= 1
+
+    for k in fr:
+        wav = np.concatenate(got[k])
+        oracle = _standalone(cfg, m, v, pp, hop, fr[k][None], seeds[k])
+        assert wav.shape == oracle.shape == (fr[k].shape[0] * hop,)
+        np.testing.assert_array_equal(wav, oracle)
+
+
+def test_pool_lifecycle_errors():
+    cfg, m, v, pp, _, hop = setup_stream("laplace", F=4)
+    pool = StreamPool(pp, m, v, cfg, hop_length=hop, slots=1,
+                      block_frames=32, chunk=64, interpret=True)
+    a = pool.open(seed=0)
+    pool.end(a)
+    with pytest.raises(RuntimeError):
+        pool.push(a, np.zeros((3, cfg.aux_channels), np.float32))
+    assert pool.step() == {}                   # empty ended stream closes
+    assert not pool.active
+    with pytest.raises(KeyError):
+        pool.push(a, np.zeros((3, cfg.aux_channels), np.float32))
+    b = pool.open(seed=1)                      # slot was freed
+    with pytest.raises(ValueError):
+        pool.push(b, np.zeros((2, 3, cfg.aux_channels), np.float32))
 
 
 def test_streaming_fused_equals_fused_batch():
