@@ -10,5 +10,5 @@ from shallow_wavenet_tpu.models.wavenet import (  # noqa: F401
 )
 from shallow_wavenet_tpu.models import heads  # noqa: F401
 from shallow_wavenet_tpu.models.streaming import (  # noqa: F401
-    StreamingSynthesizer,
+    StreamingSynthesizer, StreamPool,
 )

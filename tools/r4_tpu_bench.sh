@@ -20,3 +20,7 @@ timeout 900 python tools/stream_bench.py 4 6 50 4
 timeout 900 python tools/stream_bench.py 8 6 50 4
 timeout 900 python tools/stream_bench.py 4 3 50 4
 timeout 900 python tools/stream_bench.py 8 3 50 4
+
+# --- StreamPool staggered-lifecycle serving (r4 feature) -------------
+timeout 900 python tools/stream_bench.py 4 6 60 4 pool
+timeout 900 python tools/stream_bench.py 8 6 60 4 pool

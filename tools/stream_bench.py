@@ -5,6 +5,13 @@ batch) synthesis — the serving-side complement of bench.py's batch
 throughput number.
 
 Usage: python tools/stream_bench.py [batch] [block_frames] [n_blocks] [fused]
+       python tools/stream_bench.py [slots] [block_frames] [n_cycles] [fused] pool
+
+pool mode drives the StreamPool serving shape instead of one
+synchronized session: `slots` INDEPENDENT streams with staggered starts
+(one joins per cycle; finished streams immediately recycle their slot),
+measuring per-cycle wall latency of the batched dispatch plus the
+aggregate audio rate — the realistic multi-tenant serving number.
 """
 
 import os
@@ -29,6 +36,71 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 BLOCK_FRAMES = int(sys.argv[2]) if len(sys.argv) > 2 else 6
 N_BLOCKS = int(sys.argv[3]) if len(sys.argv) > 3 else 50
 FUSED = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+POOL = len(sys.argv) > 5 and sys.argv[5] == "pool"
+
+
+def main_pool():
+    """Staggered-lifecycle serving bench through StreamPool."""
+    from tools._common import init_model
+
+    from shallow_wavenet_tpu.models.streaming import StreamPool
+
+    cfg = get_config("shallow_laplace_single")
+    mc, dc = cfg.model, cfg.data
+    block_ms = BLOCK_FRAMES * dc.hop_length / dc.sample_rate * 1e3
+    print(f"device={jax.devices()} POOL slots={B} block={BLOCK_FRAMES} "
+          f"frames fused={FUSED} ({block_ms:.1f} ms audio/block)")
+    rng = np.random.default_rng(0)
+    model, v, pp = init_model(mc, dc.hop_length)
+    pool = StreamPool(pp, model, v, mc, hop_length=dc.hop_length,
+                      slots=B, block_frames=BLOCK_FRAMES, chunk=64,
+                      fused=FUSED)
+    # each stream lives ~8 blocks; one new stream joins per cycle until
+    # slots fill; ended streams recycle their slot immediately
+    STREAM_BLOCKS = 8
+    halo = pool.halo
+    blocks_left, seed = {}, 0
+
+    def open_one():
+        nonlocal seed
+        sid = pool.open(seed=seed)
+        seed += 1
+        blocks_left[sid] = STREAM_BLOCKS
+        # push everything up front: frames are frame-rate features, tiny
+        # next to the waveform — the bench measures synthesis dispatches
+        pool.push(sid, rng.standard_normal(
+            (STREAM_BLOCKS * BLOCK_FRAMES + halo,
+             mc.aux_channels)).astype(np.float32))
+        pool.end(sid)
+
+    lat, emitted, measured, cycles = [], 0, 0, 0
+    t_start = time.time()
+    open_one()
+    while cycles < N_BLOCKS:
+        if pool._free and cycles < N_BLOCKS - STREAM_BLOCKS:
+            open_one()
+        t0 = time.time()
+        out = pool.step()
+        dt = time.time() - t0
+        cycles += 1
+        got = sum(w.shape[0] for w in out.values())
+        emitted += got
+        if cycles > 3:                    # skip compile warmup
+            lat.append(dt)
+            measured += got
+        if not pool.active:
+            break
+    total = time.time() - t_start
+    lat = np.asarray(lat) * 1e3
+    audio_s = emitted / dc.sample_rate
+    print(f"emitted {audio_s:.2f} audio-s over {cycles} cycles "
+          f"({pool.dispatches} pooled dispatches)")
+    print(f"cycle latency ms: mean {lat.mean():.1f}  p50 "
+          f"{np.percentile(lat, 50):.1f}  p95 {np.percentile(lat, 95):.1f}"
+          f"  max {lat.max():.1f}  (block = {block_ms:.1f} ms audio)")
+    agg = (measured / dc.sample_rate) / (lat.sum() / 1e3 + 1e-9)
+    print(f"aggregate (steady-state): {agg:.1f} audio-s/s "
+          f"(total incl. compile: {total:.1f}s)")
 
 
 def main():
@@ -79,4 +151,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main_pool() if POOL else main()
