@@ -55,9 +55,10 @@ def main_pool():
     pool = StreamPool(pp, model, v, mc, hop_length=dc.hop_length,
                       slots=B, block_frames=BLOCK_FRAMES, chunk=64,
                       fused=FUSED)
-    # each stream lives ~8 blocks; one new stream joins per cycle until
+    # each stream lives 24 blocks (~2 s of audio at the 80 ms block) — a
+    # short-but-realistic utterance; one new stream joins per cycle until
     # slots fill; ended streams recycle their slot immediately
-    STREAM_BLOCKS = 8
+    STREAM_BLOCKS = 24
     halo = pool.halo
     blocks_left, seed = {}, 0
 
@@ -73,33 +74,44 @@ def main_pool():
              mc.aux_channels)).astype(np.float32))
         pool.end(sid)
 
-    lat, emitted, measured, cycles = [], 0, 0, 0
+    lat, lat_tail, emitted, measured, cycles = [], [], 0, 0, 0
     t_start = time.time()
     open_one()
     while cycles < N_BLOCKS:
         if pool._free and cycles < N_BLOCKS - STREAM_BLOCKS:
             open_one()
+        before = set(pool.active)
         t0 = time.time()
         out = pool.step()
         dt = time.time() - t0
         cycles += 1
+        closed = before - set(pool.active)
         got = sum(w.shape[0] for w in out.values())
         emitted += got
         if cycles > 3:                    # skip compile warmup
-            lat.append(dt)
+            # tail cycles run per-stream host-path flushes (once per
+            # utterance in real serving) — report separately from the
+            # steady-state pooled dispatch latency
+            (lat_tail if closed else lat).append(dt)
             measured += got
         if not pool.active:
             break
     total = time.time() - t_start
     lat = np.asarray(lat) * 1e3
+    lat_tail = np.asarray(lat_tail) * 1e3
     audio_s = emitted / dc.sample_rate
     print(f"emitted {audio_s:.2f} audio-s over {cycles} cycles "
-          f"({pool.dispatches} pooled dispatches)")
-    print(f"cycle latency ms: mean {lat.mean():.1f}  p50 "
+          f"({pool.dispatches} pooled dispatches, {len(lat_tail)} "
+          f"measured tail cycles)")
+    print(f"steady-state cycle latency ms: mean {lat.mean():.1f}  p50 "
           f"{np.percentile(lat, 50):.1f}  p95 {np.percentile(lat, 95):.1f}"
           f"  max {lat.max():.1f}  (block = {block_ms:.1f} ms audio)")
-    agg = (measured / dc.sample_rate) / (lat.sum() / 1e3 + 1e-9)
-    print(f"aggregate (steady-state): {agg:.1f} audio-s/s "
+    if len(lat_tail):
+        print(f"tail-cycle latency ms: mean {lat_tail.mean():.1f}  "
+              f"max {lat_tail.max():.1f}")
+    wall = (lat.sum() + lat_tail.sum()) / 1e3
+    agg = (measured / dc.sample_rate) / (wall + 1e-9)
+    print(f"aggregate (incl. tails): {agg:.1f} audio-s/s "
           f"(total incl. compile: {total:.1f}s)")
 
 
@@ -145,9 +157,10 @@ def main():
     # multi-stream serving shape (VERDICT r3 item 6): B concurrent
     # sessions ride one batched kernel, so each push emits B blocks —
     # per-stream latency is the line above; this is the aggregate
+    # block_ms/lat_ms is audio-seconds per wall-second per stream
     agg = B * block_ms / lat.mean()
     print(f"aggregate: {B} streams x {block_ms:.1f} ms/push -> "
-          f"{agg / 1e3:.2f} audio-s/s (aggregate RTF {1.0 / agg * 1e3:.4f})")
+          f"{agg:.2f} audio-s/s (aggregate RTF {1.0 / agg:.4f})")
 
 
 if __name__ == "__main__":

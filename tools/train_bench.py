@@ -83,8 +83,14 @@ def main():
         ca = tr.step_fn.lower(state, tr.shard_batch(host_batch())) \
             .compile().cost_analysis()
         step_flops = float(ca["flops"])
+        # XLA's cost analysis counts the lax.scan BODY once, not per trip
+        # (measured r4: accum=4 reports exactly 1/4 the flops/sample of
+        # the accum=1 step) — scale by the microbatch count so MFU stays
+        # comparable across accum settings
+        step_flops *= max(1, ACCUM)
         print(f"XLA flops/step {step_flops / 1e9:.2f} GF "
-              f"({step_flops / n_samples / 1e6:.3f} MF/sample)")
+              f"({step_flops / n_samples / 1e6:.3f} MF/sample; "
+              f"scan-body x{max(1, ACCUM)})")
     except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
         print(f"cost_analysis unavailable: {e}")
     for K in KS:
