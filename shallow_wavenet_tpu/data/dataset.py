@@ -75,25 +75,39 @@ class SegmentSampler:
         # of draws is redirected to the pool. boost=0 consumes NO extra RNG
         # draws, so existing streams/checkpoints replay identically
         self.silence_boost = float(silence_boost)
-        self._sil_pool: list[tuple[int, int]] = (
-            self._build_silence_pool() if self.silence_boost > 0 else [])
+        if self.silence_boost > 0:
+            self._sil_ui, self._sil_f0 = self._build_silence_pool()
+        else:
+            self._sil_ui = np.zeros(0, np.int32)
+            self._sil_f0 = np.zeros(0, np.int32)
 
-    def _build_silence_pool(self) -> list[tuple[int, int]]:
-        pool = []
+    def _build_silence_pool(self) -> tuple[np.ndarray, np.ndarray]:
+        """(utt index, start frame) arrays of every segment position whose
+        window contains >= 10% silent frames — vectorized (a real corpus
+        has millions of candidate positions; parallel int32 arrays, not a
+        Python tuple list)."""
+        uis, f0s = [], []
         seg_frames = self.min_frames
         need = max(1, seg_frames // 10)
         for ui, u in enumerate(self.utts):
             n_frames = min(u.feats.shape[0], len(u.wav) // self.hop)
+            if n_frames < seg_frames:
+                continue
             fe = (u.wav[: n_frames * self.hop]
                   .reshape(n_frames, self.hop) ** 2).mean(axis=1)
             sil = fe < fe.max() * 1e-4          # 40 dB below peak frame
             if not sil.any():
                 continue
             csum = np.concatenate([[0], np.cumsum(sil)])
-            for f0 in range(n_frames - seg_frames + 1):
-                if csum[f0 + seg_frames] - csum[f0] >= need:
-                    pool.append((ui, f0))
-        return pool
+            # windowed silent-frame count per candidate start position
+            win = csum[seg_frames:] - csum[:n_frames - seg_frames + 1]
+            valid = np.flatnonzero(win >= need).astype(np.int32)
+            if valid.size:
+                uis.append(np.full(valid.size, ui, np.int32))
+                f0s.append(valid)
+        if not uis:
+            return np.zeros(0, np.int32), np.zeros(0, np.int32)
+        return np.concatenate(uis), np.concatenate(f0s)
 
     def state(self) -> dict:
         """Serializable iterator state for checkpoint/resume (SURVEY.md §5.4)."""
@@ -104,10 +118,10 @@ class SegmentSampler:
 
     def _draw_one(self):
         seg_frames = self.seg // self.hop
-        if (self._sil_pool
+        if (self._sil_ui.size
                 and self.rng.random() < self.silence_boost):
-            ui, f0 = self._sil_pool[
-                int(self.rng.integers(len(self._sil_pool)))]
+            i = int(self.rng.integers(self._sil_ui.size))
+            ui, f0 = int(self._sil_ui[i]), int(self._sil_f0[i])
             u = self.utts[ui]
         else:
             u = self.utts[self.rng.integers(len(self.utts))]

@@ -132,6 +132,18 @@ def _correct_outliers(f0, vuv):
     return jnp.where(jnp.abs(f0 - med) > 0.18 * med, med, f0)
 
 
+# F0-adaptive window grid, shared with the native C++ twin
+# (utils/native.band_aperiodicity_native) — keep in ONE place so a tuning
+# change cannot silently break JAX-vs-native feature parity
+BAP_F0_REFS = (70.0, 110.0, 170.0, 260.0)
+
+
+def bap_window_length(sample_rate: int, f0_ref: float) -> int:
+    """Shortest even window covering ~2.5 periods of f0_ref."""
+    w = int(2.5 * sample_rate / f0_ref)
+    return w + (w % 2)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sample_rate", "hop_length", "win_length", "n_bands"),
@@ -156,12 +168,11 @@ def band_aperiodicity(x, f0, sample_rate: int, hop_length: int,
       covering ~2.5 periods of its own F0 (a small static set of window
       lengths, one vectorized pass each, per-frame selection)."""
     if win_length == 0:
-        refs = (70.0, 110.0, 170.0, 260.0)
+        refs = BAP_F0_REFS
         passes = []
         for f0_ref in refs:
-            w = int(2.5 * sample_rate / f0_ref)
-            w += w % 2
-            passes.append(_bap_pass(x, f0, sample_rate, hop_length, w,
+            passes.append(_bap_pass(x, f0, sample_rate, hop_length,
+                                    bap_window_length(sample_rate, f0_ref),
                                     n_bands))
         out = passes[0]
         for f0_ref, ap in zip(refs[1:], passes[1:]):

@@ -175,13 +175,14 @@ def band_aperiodicity_native(x: np.ndarray, f0: np.ndarray,
     if win_length:
         return _bap_pass_native(lib, x, f0, sample_rate, hop_length,
                                 win_length, n_bands)
-    refs = (70.0, 110.0, 170.0, 260.0)
+    from shallow_wavenet_tpu.ops.f0 import BAP_F0_REFS, bap_window_length
+
+    refs = BAP_F0_REFS
     passes = []
     for f0_ref in refs:
-        w = int(2.5 * sample_rate / f0_ref)
-        w += w % 2
-        passes.append(_bap_pass_native(lib, x, f0, sample_rate, hop_length,
-                                       w, n_bands))
+        passes.append(_bap_pass_native(
+            lib, x, f0, sample_rate, hop_length,
+            bap_window_length(sample_rate, f0_ref), n_bands))
     out = passes[0]
     for f0_ref, ap in zip(refs[1:], passes[1:]):
         n = min(out.shape[0], ap.shape[0])

@@ -96,9 +96,10 @@ def main(path="PARITY_r3.jsonl"):
             p = _mannwhitney(ds, strict)
             med_d, med_f = np.median(ds), np.median(strict)
             indist = med_d <= med_f or (p is not None and p > 0.05)
+            p_str = f"{p:.3f}" if p is not None else "n/a (scipy missing)"
             print(f"  1e-7-only rank verdict: median|delta| {med_d:.3f} "
                   f"vs median floor {med_f:.3f} "
-                  f"(n={len(strict)}), Mann-Whitney p={p:.3f} -> "
+                  f"(n={len(strict)}), Mann-Whitney p={p_str} -> "
                   f"{'INDISTINGUISHABLE' if indist else 'DISTINGUISHABLE'}"
                   )
         # legacy pooled-mean gate (continuity with rounds 2-3)

@@ -60,13 +60,12 @@ def main_pool():
     # slots fill; ended streams recycle their slot immediately
     STREAM_BLOCKS = 24
     halo = pool.halo
-    blocks_left, seed = {}, 0
+    seed = 0
 
     def open_one():
         nonlocal seed
         sid = pool.open(seed=seed)
         seed += 1
-        blocks_left[sid] = STREAM_BLOCKS
         # push everything up front: frames are frame-rate features, tiny
         # next to the waveform — the bench measures synthesis dispatches
         pool.push(sid, rng.standard_normal(
@@ -103,9 +102,14 @@ def main_pool():
     print(f"emitted {audio_s:.2f} audio-s over {cycles} cycles "
           f"({pool.dispatches} pooled dispatches, {len(lat_tail)} "
           f"measured tail cycles)")
-    print(f"steady-state cycle latency ms: mean {lat.mean():.1f}  p50 "
-          f"{np.percentile(lat, 50):.1f}  p95 {np.percentile(lat, 95):.1f}"
-          f"  max {lat.max():.1f}  (block = {block_ms:.1f} ms audio)")
+    if len(lat):
+        print(f"steady-state cycle latency ms: mean {lat.mean():.1f}  p50 "
+              f"{np.percentile(lat, 50):.1f}  "
+              f"p95 {np.percentile(lat, 95):.1f}"
+              f"  max {lat.max():.1f}  (block = {block_ms:.1f} ms audio)")
+    else:
+        print("no steady-state cycles measured (raise n_cycles past the "
+              "warmup skip)")
     if len(lat_tail):
         print(f"tail-cycle latency ms: mean {lat_tail.mean():.1f}  "
               f"max {lat_tail.max():.1f}")
