@@ -197,6 +197,34 @@ def test_pool_streams_match_standalone_sessions():
         np.testing.assert_array_equal(wav, oracle)
 
 
+def test_pool_softmax_matches_standalone():
+    """The pool's warm-start path includes the softmax head's mu-law
+    teacher quantization — one staggered two-stream check, bit-exact."""
+    cfg, m, v, pp, _, hop = setup_stream("softmax", F=4)
+    rng = np.random.default_rng(5)
+    C = cfg.aux_channels
+    fr = {k: rng.standard_normal((n, C)).astype(np.float32)
+          for k, n in (("a", 80), ("b", 70))}
+    pool = StreamPool(pp, m, v, cfg, hop_length=hop, slots=2,
+                      block_frames=32, chunk=64, interpret=True)
+    sid = {k: pool.open(seed=40 + i) for i, k in enumerate(fr)}
+    for k in fr:
+        pool.push(sid[k], fr[k])
+        pool.end(sid[k])
+    got = {k: [] for k in fr}
+    name_of = {v_: k for k, v_ in sid.items()}
+    for _ in range(30):
+        if not pool.active:
+            break
+        for s, w in pool.step().items():
+            got[name_of[s]].append(w)
+    assert not pool.active
+    for i, k in enumerate(fr):
+        wav = np.concatenate(got[k])
+        oracle = _standalone(cfg, m, v, pp, hop, fr[k][None], 40 + i)
+        np.testing.assert_array_equal(wav, oracle)
+
+
 def test_pool_lifecycle_errors():
     cfg, m, v, pp, _, hop = setup_stream("laplace", F=4)
     pool = StreamPool(pp, m, v, cfg, hop_length=hop, slots=1,
