@@ -40,13 +40,24 @@ def extract_one(wav_path: str, cfg, numpy_only: bool = False) -> np.ndarray:
 
         wav = highpass(wav, sr, cfg.data.highpass_cutoff)
     n_frames = len(wav) // cfg.data.hop_length
+
+    def with_energy(feats: np.ndarray) -> np.ndarray:
+        """data.energy_feature: append the frame log-RMS channel
+        (ops/energy.py) — numpy on BOTH worker paths, bit-identical."""
+        if not cfg.data.energy_feature:
+            return feats
+        from shallow_wavenet_tpu.ops.energy import frame_log_energy
+
+        e = frame_log_energy(wav, cfg.data.hop_length, feats.shape[0])
+        return np.concatenate([feats, e], axis=-1)
+
     if cfg.data.feature_type == "world":
         if numpy_only:
             # pooled workers: native C++ twin (utils/native.py — the
             # reference's WORLD/SPTK-in-a-worker-pool shape, SURVEY.md §3.2)
             from shallow_wavenet_tpu.utils.native import world_features_native
 
-            return world_features_native(wav, cfg)
+            return with_energy(world_features_native(wav, cfg))
         import jax.numpy as jnp
 
         # WORLD-equivalent path (C12): log-F0 + vuv + mcep + band ap
@@ -71,16 +82,16 @@ def extract_one(wav_path: str, cfg, numpy_only: bool = False) -> np.ndarray:
         feats = jnp.concatenate(
             [lf0[:n, None], vuv[:n, None], mc[:n], bap[:n]], axis=-1
         )
-        return np.asarray(feats)
+        return with_energy(np.asarray(feats))
     if numpy_only:
         # pooled workers: pure-numpy mirror, no jax import (spawn-cheap)
         from shallow_wavenet_tpu.ops.stft import log_mel_spectrogram_np
 
-        return log_mel_spectrogram_np(
+        return with_energy(log_mel_spectrogram_np(
             wav, sr, cfg.data.n_fft, cfg.data.hop_length,
             cfg.data.win_length, cfg.data.n_mels, cfg.data.fmin,
             cfg.data.fmax,
-        )[:n_frames]
+        )[:n_frames])
     import jax.numpy as jnp
 
     from shallow_wavenet_tpu.ops import log_mel_spectrogram
@@ -89,7 +100,7 @@ def extract_one(wav_path: str, cfg, numpy_only: bool = False) -> np.ndarray:
         jnp.asarray(wav), sr, cfg.data.n_fft, cfg.data.hop_length,
         cfg.data.win_length, cfg.data.n_mels, cfg.data.fmin, cfg.data.fmax,
     )
-    return np.asarray(mel)[:n_frames]
+    return with_energy(np.asarray(mel)[:n_frames])
 
 
 class _cpu_worker_env:

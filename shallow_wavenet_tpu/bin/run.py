@@ -51,6 +51,12 @@ def main(argv=None):
                    choices=("harmonic", "speechlike"),
                    help="synthetic-corpus style (stage 0): 'speechlike' "
                         "adds F0 glides, unvoiced bursts and silence")
+    p.add_argument("--corpus-f0-range", default=None,
+                   help="speechlike corpus F0 span as 'LO,HI' Hz (stage "
+                        "0) — e.g. '80,340' for the wide pitch-control "
+                        "corpus; default keeps the historical 90-240 Hz. "
+                        "Multi-speaker configs split the span into "
+                        "per-speaker bands")
     p.add_argument("--wav-dir", default=None,
                    help="stage 0: ingest an EXTERNAL corpus — every *.wav "
                         "under this directory (recursive; any PCM "
@@ -101,11 +107,16 @@ def main(argv=None):
         else:
             from shallow_wavenet_tpu.data.synthetic import make_corpus
 
+            f0r = None
+            if args.corpus_f0_range:
+                lo, _, hi = args.corpus_f0_range.partition(",")
+                f0r = (float(lo), float(hi))
             make_corpus(
                 corpus, n_train=args.n_train, n_eval=args.n_eval,
                 sample_rate=cfg.data.sample_rate, duration_s=1.0,
                 n_speakers=max(cfg.model.n_speakers, 1),
                 seed=args.corpus_seed, style=args.corpus_style,
+                f0_range=f0r,
             )
             log.info("synthetic corpus (%s): %d train / %d eval",
                      args.corpus_style, args.n_train, args.n_eval)

@@ -90,6 +90,12 @@ class DataConfig:
     # destabilize in long silent stretches (BASELINE.md r3 deep speechlike
     # row); 0.0 = off (exact round-3 sampling stream)
     silence_boost: float = 0.0
+    # append a frame log-RMS channel to the conditioning (ops/energy.py):
+    # the explicit silence/energy cue. The world set otherwise encodes
+    # digital silence exactly like unvoiced noise (vuv=0, bap=1), which
+    # cues a hiss floor in silent stretches (BASELINE.md r4 -21..-29 dB);
+    # feature_dim grows by 1 when enabled
+    energy_feature: bool = False
 
 
 @dataclass(frozen=True)
@@ -150,10 +156,11 @@ class MeshConfig:
 def feature_dim(cfg: "Config") -> int:
     """Conditioning dimensionality implied by the data config — must equal
     model.aux_channels."""
+    extra = 1 if cfg.data.energy_feature else 0
     if cfg.data.feature_type == "mel":
-        return cfg.data.n_mels
+        return cfg.data.n_mels + extra
     if cfg.data.feature_type == "world":
-        return 2 + (cfg.noise_shaping.mcep_order + 1) + cfg.data.n_bap
+        return 2 + (cfg.noise_shaping.mcep_order + 1) + cfg.data.n_bap + extra
     raise ValueError(f"unknown feature_type {cfg.data.feature_type!r}")
 
 
@@ -293,12 +300,22 @@ def _preset_4() -> Config:
 
 
 def _preset_5() -> Config:
-    """Config 5: deep baseline (full-depth stack), N>=2 hosts."""
+    """Config 5: deep baseline (full-depth stack), N>=2 hosts.
+
+    The data knobs default to the MEASURED-STABLE configuration (BASELINE.md
+    r4/r5): world conditioning + silence-aware sampling + the explicit
+    frame-energy channel. The as-shipped mel/no-boost combination was the
+    measured-unstable one (deep AR blows up in long digital silence —
+    r3 10.59 dB utterance); do not revert these without re-measuring.
+    """
     c = Config(name="deep_baseline")
     c.model = ModelConfig(
         n_stacks=3, stack_size=10, residual_channels=128, gate_channels=256,
         skip_channels=256, head="laplace",
+        aux_channels=32,  # world feature_dim: 2 + 25 + 4 + energy
     )
+    c.data = DataConfig(feature_type="world", silence_boost=0.25,
+                        energy_feature=True)
     c.noise_shaping = NoiseShapeConfig(enabled=True)
     c.mesh = MeshConfig(multihost=True)
     c.train = TrainConfig(steps_per_call=8)

@@ -38,13 +38,21 @@ def synth_utterance(seed: int, sample_rate: int, duration_s: float = 1.0
 
 
 def synth_utterance_speechlike(seed: int, sample_rate: int,
-                               duration_s: float = 1.0
+                               duration_s: float = 1.0,
+                               f0_range: tuple[float, float] = (90.0, 240.0),
+                               f0_clip: tuple[float, float] = (80.0, 300.0),
                                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Harder, speech-shaped test signal (VERDICT r1 item 4): alternating
     voiced stretches (harmonics with F0 GLIDES), unvoiced fricative-like
     noise bursts, and true silence gaps. Returns (wav, f0_track,
     voiced_mask) at SAMPLE resolution — the ground truth the F0-estimator
-    accuracy tests frame-average against (tests/test_f0.py)."""
+    accuracy tests frame-average against (tests/test_f0.py).
+
+    f0_range bounds each voiced segment's starting F0; glide targets are
+    clipped to f0_clip. The defaults reproduce the round-2..4 corpora
+    bit-for-bit (same RNG call sequence); a wide range (e.g. 80-340 Hz)
+    is the pitch-control training corpus of VERDICT r4 item 2 — keep
+    extraction f0_min/f0_max covering [0.9*lo, 1.15*hi]."""
     rng = np.random.default_rng(seed)
     n = int(sample_rate * duration_s)
     wav = np.zeros(n, np.float64)
@@ -59,8 +67,8 @@ def synth_utterance_speechlike(seed: int, sample_rate: int,
         t1 = min(t0 + dur, n)
         seg = np.arange(t1 - t0) / sample_rate
         if kind == "voiced" and t1 - t0 > sample_rate // 50:
-            fa = rng.uniform(90.0, 240.0)
-            fb = np.clip(fa * rng.uniform(0.7, 1.4), 80.0, 300.0)
+            fa = rng.uniform(*f0_range)
+            fb = np.clip(fa * rng.uniform(0.7, 1.4), *f0_clip)
             f0 = fa + (fb - fa) * seg / seg[-1]          # linear glide
             phase = 2 * np.pi * np.cumsum(f0) / sample_rate
             x = np.zeros(t1 - t0)
@@ -97,21 +105,41 @@ def synth_utterance_speechlike(seed: int, sample_rate: int,
 def make_corpus(root: str | Path, *, n_train: int = 8, n_eval: int = 2,
                 sample_rate: int = 16000, duration_s: float = 1.0,
                 seed: int = 1234, n_speakers: int = 1,
-                style: str = "harmonic") -> dict[str, list[str]]:
+                style: str = "harmonic",
+                f0_range: tuple[float, float] | None = None
+                ) -> dict[str, list[str]]:
     """Write wavs + scp file lists under `root`. Returns {'train': [...],
     'eval': [...]} wav paths. Speaker id is seed % n_speakers (encoded in
     the filename `spkN_uttM.wav`). style='speechlike' writes the harder
-    glide/burst/silence corpus of synth_utterance_speechlike."""
+    glide/burst/silence corpus of synth_utterance_speechlike.
+
+    f0_range (speechlike only): overall F0 span of the corpus. None keeps
+    the historical default (90-240 Hz, bit-identical RNG stream). With
+    n_speakers > 1 the span is split log-uniformly into per-speaker bands
+    (VERDICT r4 item 2's 'speaker F0 bands'); with one speaker every
+    utterance draws from the full span."""
     root = Path(root)
     lists: dict[str, list[str]] = {}
     idx = 0
+
+    def spk_f0(spk: int) -> dict:
+        if f0_range is None:
+            return {}
+        lo, hi = float(f0_range[0]), float(f0_range[1])
+        if n_speakers > 1:
+            edges = np.exp(np.linspace(np.log(lo), np.log(hi),
+                                       n_speakers + 1))
+            lo, hi = float(edges[spk]), float(edges[spk + 1])
+        return {"f0_range": (lo, hi),
+                "f0_clip": (max(0.9 * lo, 1.0), 1.15 * hi)}
+
     for split, count in (("train", n_train), ("eval", n_eval)):
         paths = []
         for _ in range(count):
             spk = idx % n_speakers
             if style == "speechlike":
                 wav, _, _ = synth_utterance_speechlike(
-                    seed + idx, sample_rate, duration_s)
+                    seed + idx, sample_rate, duration_s, **spk_f0(spk))
             else:
                 wav = synth_utterance(seed + idx, sample_rate, duration_s)
             # stem is unique ACROSS splits: feature files are keyed by stem

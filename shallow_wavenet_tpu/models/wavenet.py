@@ -194,13 +194,30 @@ class ConditioningUpsampler(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, c):
+    def __call__(self, c, valid=None):
+        """valid: optional (B,) int32 per-row count of VALID input frames.
+        Positions beyond a row's valid length are zeroed after every stage,
+        which reproduces bit-for-bit the implicit SAME-conv zero padding of
+        an input that truly ends there (every op is linear per position, so
+        zeros in == the array-boundary zeros of the shorter input). This is
+        what lets a FIXED-shape pooled program synthesize per-row
+        variable-length stream tails exactly (models/streaming.StreamPool)."""
+
+        def mask(x, rate):
+            if valid is None:
+                return x
+            pos = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :, None]
+            return jnp.where(pos < (valid * rate)[:, None, None], x,
+                             jnp.zeros((), x.dtype))
+
         c = Dense1x1(self.channels, dtype=self.dtype, name="proj")(c)
-        c = jax.nn.leaky_relu(c, 0.1)
+        c = mask(jax.nn.leaky_relu(c, 0.1), 1)
+        rate = 1
         for si, f in enumerate(self.factors):
             c = RepeatSmoothStage(f, self.channels, dtype=self.dtype,
                                   name=f"smooth{si}")(c)
-            c = jax.nn.leaky_relu(c, 0.1)
+            rate *= f
+            c = mask(jax.nn.leaky_relu(c, 0.1), rate)
         return c
 
 
@@ -279,15 +296,23 @@ class WaveNet(nn.Module):
         out = self.head2(out)
         return out.astype(jnp.float32)
 
-    def upsample_cond(self, cond, speaker=None):
-        """Sample-rate conditioning (precomputed before AR generation)."""
+    def upsample_cond(self, cond, speaker=None, valid_frames=None):
+        """Sample-rate conditioning (precomputed before AR generation).
+        valid_frames: optional (B,) per-row valid input-frame counts — rows
+        are upsampled as if each ended at its own length (exact end edge),
+        with positions beyond it zeroed (see ConditioningUpsampler)."""
         cfg = self.cfg
-        c_up = self.upsampler(cond)
+        c_up = self.upsampler(cond, valid_frames)
         if cfg.n_speakers > 0:
             if speaker is None:
                 raise ValueError("speaker ids required when n_speakers > 0")
             emb = self.speaker_embed(speaker)
             c_up = c_up + emb[:, None, :].astype(self._dt)
+            if valid_frames is not None:
+                hop = int(np.prod(cfg.upsample_factors))
+                pos = jnp.arange(c_up.shape[1], dtype=jnp.int32)[None, :, None]
+                c_up = jnp.where(pos < (valid_frames * hop)[:, None, None],
+                                 c_up, jnp.zeros((), c_up.dtype))
         return c_up.astype(jnp.float32)
 
 

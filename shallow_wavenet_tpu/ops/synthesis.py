@@ -129,15 +129,18 @@ def excitation_multiband(f0, vuv, bap, key, sample_rate: int, hop: int,
 
 def world_synthesis(feats, key, sample_rate: int, hop: int,
                     mcep_order: int, alpha: float, t_len: int = 0,
-                    per_band: bool = True):
+                    per_band: bool = True, n_bap: int = 0):
     """Synthesize a waveform from one utterance's `world` feature matrix
     (n_frames, 2 + mcep_order+1 + n_bap) as written by feature_extract:
     columns [log-F0 | vuv | mcep.. | bap..]. Features must be
-    UN-normalized. Returns (T,) float32 in [-1, 1]."""
+    UN-normalized. Pass n_bap explicitly when the matrix carries trailing
+    extra channels (data.energy_feature); 0 = every remaining column is
+    bap. Returns (T,) float32 in [-1, 1]."""
     feats = jnp.asarray(feats, jnp.float32)
     lf0, vuv = feats[:, 0], feats[:, 1]
     mc = feats[:, 2:2 + mcep_order + 1]
-    bap = feats[:, 2 + mcep_order + 1:]
+    b0 = 2 + mcep_order + 1
+    bap = feats[:, b0:b0 + n_bap] if n_bap else feats[:, b0:]
     f0 = jnp.where(vuv > 0.5, jnp.exp(lf0), 0.0)
     if per_band and bap.shape[-1]:
         exc = excitation_multiband(f0, vuv, bap, key, sample_rate, hop,

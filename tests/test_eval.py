@@ -50,6 +50,41 @@ def test_eval_pair_degrades_with_noise():
     assert m["lsd_db"] > 1.0
 
 
+def test_eval_pair_silence_metrics():
+    """LSD excludes reference-silent frames (log distance vs digital zero
+    diverges for ANY output — VERDICT r4 weak-4) and silence_db measures
+    the generated level inside them."""
+    cfg = get_config("shallow_laplace_single")
+    sr = cfg.data.sample_rate
+    rng = np.random.default_rng(0)
+    voiced = harmonic(150.0, sr, 0.3)
+    # realistic noise floor in the non-silent part (the synthetic corpus
+    # has one too); the gap stays digitally silent
+    voiced = voiced + 0.002 * rng.standard_normal(voiced.size
+                                                  ).astype(np.float32)
+    ref = np.concatenate([voiced, np.zeros(sr // 5, np.float32), voiced])
+
+    # generated = same signal but emitting -40 dB hiss in the silence
+    gen = ref + (0.3 * 1e-2) * rng.standard_normal(ref.size
+                                                   ).astype(np.float32)
+    m = eval_pair(ref, gen, cfg)
+    assert m["lsd_frames_excluded"] > 0
+    assert m["lsd_db"] is not None and m["lsd_db"] < 10.0  # no divergence
+    assert m["silence_db"] is not None
+    assert -55.0 < m["silence_db"] < -25.0
+
+    # a clean generated signal scores near-digital silence
+    m2 = eval_pair(ref, ref.copy(), cfg)
+    assert m2["silence_db"] < -90.0
+    # and LSD is now finite/tiny instead of blown up by the zero frames
+    assert m2["lsd_db"] < 1e-4
+
+    # no silence in the reference -> silence_db is None, nothing excluded
+    m3 = eval_pair(voiced, voiced.copy(), cfg)
+    assert m3["silence_db"] is None
+    assert m3["lsd_frames_excluded"] == 0
+
+
 def test_decode_f0_factor_shifts_voiced_lf0(tmp_path):
     """--f0-factor scales the (normalized) log-F0 conditioning column by
     ln(factor) on voiced frames only."""

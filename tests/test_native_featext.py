@@ -104,6 +104,48 @@ def test_world_features_native_matches_extract_one(wav, tmp_path):
                                atol=2e-4)
 
 
+def test_energy_feature_parity_and_floor(tmp_path):
+    """data.energy_feature appends the frame log-RMS channel (ops/energy.py)
+    on BOTH extraction paths bit-identically, grows feature_dim by 1, and
+    maps digital-zero frames to the exact log(ENERGY_FLOOR) constant — the
+    explicit silence cue of the r5 deep preset (BASELINE.md r4 hiss
+    diagnosis)."""
+    import math
+
+    from shallow_wavenet_tpu.bin.feature_extract import extract_one
+    from shallow_wavenet_tpu.config import feature_dim, get_config
+    from shallow_wavenet_tpu.data.audio_io import write_wav
+    from shallow_wavenet_tpu.data.synthetic import synth_utterance_speechlike
+    from shallow_wavenet_tpu.ops.energy import ENERGY_FLOOR
+
+    cfg = get_config("shallow_laplace_ns", [
+        "data.feature_type=world", f"data.sample_rate={SR}",
+        "data.highpass_cutoff=0", "data.energy_feature=true",
+        "model.aux_channels=32",
+    ])
+    assert feature_dim(cfg) == 32
+    w, _, _ = synth_utterance_speechlike(7, SR, 1.0)  # has true silence
+    wp = tmp_path / "utt.wav"
+    write_wav(str(wp), w, SR)
+    feats_jax = extract_one(str(wp), cfg, numpy_only=False)
+    feats_nat = extract_one(str(wp), cfg, numpy_only=True)
+    assert feats_jax.shape[1] == 32 == feats_nat.shape[1]
+    np.testing.assert_array_equal(feats_jax[:, -1], feats_nat[:, -1])
+    floor = np.float32(math.log(ENERGY_FLOOR))
+    assert (feats_jax[:, -1] == floor).any()          # silent frames
+    assert (feats_jax[:, -1] > floor + 1.0).any()     # voiced frames
+
+    # the mel path gets the same channel
+    cfg_mel = get_config("shallow_laplace_ns", [
+        f"data.sample_rate={SR}", "data.highpass_cutoff=0",
+        "data.energy_feature=true", "model.aux_channels=81",
+    ])
+    assert feature_dim(cfg_mel) == 81
+    f_mel = extract_one(str(wp), cfg_mel, numpy_only=False)
+    assert f_mel.shape[1] == 81
+    np.testing.assert_array_equal(f_mel[:, -1], feats_jax[:, -1])
+
+
 def test_f0_native_matches_jax_on_stressed_signal():
     """The octave-guard + continuity-repair paths must also agree: a
     high-passed speech-like signal (missing fundamental) drives both

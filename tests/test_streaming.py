@@ -197,6 +197,51 @@ def test_pool_streams_match_standalone_sessions():
         np.testing.assert_array_equal(wav, oracle)
 
 
+def test_pool_tails_ride_pooled_dispatch(monkeypatch):
+    """VERDICT r4 item 4: an ended multi-block stream's partial final
+    block must go through the POOLED fixed-shape tail dispatch (masked-
+    upsample end edge), never the per-stream host path — including the
+    two-cycle case where the remainder exceeds one block but not
+    block+halo. Host-path flush is forbidden by monkeypatch; outputs stay
+    bit-identical to standalone sessions."""
+    cfg, m, v, pp, _, hop = setup_stream("laplace", F=4)
+    rng = np.random.default_rng(7)
+    C = cfg.aux_channels
+    halo = upsampler_halo(cfg.upsample_factors)
+    assert halo >= 1
+    # 97 = 2 full blocks of 32 + 33 remaining (> block, < block + halo
+    # needs halo > 1; with halo == 2, 33 is in (32, 34) -> two tail cycles)
+    lens = {"a": 97, "b": 70}
+    fr = {k: rng.standard_normal((n, C)).astype(np.float32)
+          for k, n in lens.items()}
+    oracles = {k: _standalone(cfg, m, v, pp, hop, fr[k][None], 60 + i)
+               for i, k in enumerate(fr)}
+
+    pool = StreamPool(pp, m, v, cfg, hop_length=hop, slots=2,
+                      block_frames=32, chunk=64, interpret=True)
+    sid = {k: pool.open(seed=60 + i) for i, k in enumerate(fr)}
+    for k in fr:
+        pool.push(sid[k], fr[k])
+        pool.end(sid[k])
+
+    def boom(self):
+        raise AssertionError("host-path flush used for a pooled tail")
+
+    monkeypatch.setattr(StreamingSynthesizer, "flush", boom)
+    got = {k: [] for k in fr}
+    name_of = {v_: k for k, v_ in sid.items()}
+    for _ in range(30):
+        if not pool.active:
+            break
+        for s, w in pool.step().items():
+            got[name_of[s]].append(w)
+    assert not pool.active
+    for k in fr:
+        wav = np.concatenate(got[k])
+        assert wav.shape == (lens[k] * hop,)
+        np.testing.assert_array_equal(wav, oracles[k])
+
+
 def test_pool_softmax_matches_standalone():
     """The pool's warm-start path includes the softmax head's mu-law
     teacher quantization — one staggered two-stream check, bit-exact."""

@@ -77,7 +77,7 @@ def main_pool():
     t_start = time.time()
     open_one()
     while cycles < N_BLOCKS:
-        if pool._free and cycles < N_BLOCKS - STREAM_BLOCKS:
+        if pool.free_slots and cycles < N_BLOCKS - STREAM_BLOCKS:
             open_one()
         before = set(pool.active)
         t0 = time.time()
@@ -88,9 +88,11 @@ def main_pool():
         got = sum(w.shape[0] for w in out.values())
         emitted += got
         if cycles > 3:                    # skip compile warmup
-            # tail cycles run per-stream host-path flushes (once per
-            # utterance in real serving) — report separately from the
-            # steady-state pooled dispatch latency
+            # a cycle in which a stream closes ran the pooled TAIL
+            # dispatch in addition to the steady-state dispatch(es) —
+            # reported separately. Note: such cycles also contain the
+            # other active streams' pooled dispatch, so the tail mean is
+            # an upper bound on the tail dispatch itself (ADVICE r4)
             (lat_tail if closed else lat).append(dt)
             measured += got
         if not pool.active:
@@ -111,8 +113,9 @@ def main_pool():
         print("no steady-state cycles measured (raise n_cycles past the "
               "warmup skip)")
     if len(lat_tail):
-        print(f"tail-cycle latency ms: mean {lat_tail.mean():.1f}  "
-              f"max {lat_tail.max():.1f}")
+        print(f"tail-containing cycle latency ms (pooled tail dispatch + "
+              f"that cycle's steady dispatches): mean {lat_tail.mean():.1f}"
+              f"  max {lat_tail.max():.1f}")
     wall = (lat.sum() + lat_tail.sum()) / 1e3
     agg = (measured / dc.sample_rate) / (wall + 1e-9)
     print(f"aggregate (incl. tails): {agg:.1f} audio-s/s "
