@@ -83,14 +83,32 @@ def main():
         ca = tr.step_fn.lower(state, tr.shard_batch(host_batch())) \
             .compile().cost_analysis()
         step_flops = float(ca["flops"])
-        # XLA's cost analysis counts the lax.scan BODY once, not per trip
-        # (measured r4: accum=4 reports exactly 1/4 the flops/sample of
-        # the accum=1 step) — scale by the microbatch count so MFU stays
-        # comparable across accum settings
-        step_flops *= max(1, ACCUM)
+        scale = 1
+        if ACCUM > 1:
+            # XLA's cost analysis counts the lax.scan BODY once, not per
+            # trip (measured r4: accum=4 reports exactly 1/4 the
+            # flops/sample of the accum=1 step). Do NOT hard-code that:
+            # measure the ratio against the no-accum step at the same
+            # effective batch and only correct when the body really was
+            # counted once (ADVICE r4 — a future jaxlib multiplying by
+            # trip count would otherwise double-count MFU undetected)
+            import dataclasses as _dc
+
+            tr1 = Trainer(_dc.replace(
+                cfg, train=_dc.replace(cfg.train, grad_accum=1)))
+            ca1 = tr1.step_fn.lower(tr1.init_state(),
+                                    tr1.shard_batch(host_batch())) \
+                .compile().cost_analysis()
+            ratio = float(ca1["flops"]) / step_flops
+            if ratio > ACCUM / 2:      # body counted once -> ratio ~ACCUM
+                scale = ACCUM
+            else:                      # trip count already included
+                print(f"cost analysis already per-trip (accum=1/accum "
+                      f"flops ratio {ratio:.2f}); no correction applied")
+        step_flops *= scale
         print(f"XLA flops/step {step_flops / 1e9:.2f} GF "
               f"({step_flops / n_samples / 1e6:.3f} MF/sample; "
-              f"scan-body x{max(1, ACCUM)})")
+              f"scan-body x{scale})")
     except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
         print(f"cost_analysis unavailable: {e}")
     for K in KS:
