@@ -143,7 +143,8 @@ inline size_t next_pow2(size_t n) {
 extern "C" {
 
 // F0 + voicing, the exact algorithm of ops/f0.py estimate_f0:
-// biased normalized autocorrelation -> peak over [lag_min, lag_max] ->
+// normalized autocorrelation -> de-bias by the window autocorrelation ->
+// YIN-style CMND lag selection over [lag_min, lag_max] ->
 // re-maximize the window-de-biased values in a +-3 neighborhood ->
 // parabolic interpolation -> octave/subharmonic guard (prefer ~lag/m,
 // m = 2, 3, when its de-biased value is >= 0.9 * peak) -> clarity/energy/
@@ -154,7 +155,7 @@ extern "C" {
 void swt_f0_estimate(const float* x, int64_t t, double sample_rate, int hop,
                      int win, double f0_min, double f0_max, double threshold,
                      float* out_f0, float* out_vuv, int64_t n_frames) {
-  const int lag_min = static_cast<int>(sample_rate / f0_max);
+  const int lag_min = std::max(static_cast<int>(sample_rate / f0_max), 1);
   const int lag_max = static_cast<int>(std::ceil(sample_rate / f0_min));
   const size_t n_fft = next_pow2(static_cast<size_t>(win + lag_max + 1));
   const int span = lag_max - lag_min;
@@ -173,19 +174,48 @@ void swt_f0_estimate(const float* x, int64_t t, double sample_rate, int hop,
     autocorr_via_fft(frame, n_fft, ac);
     const double ac0 = std::max(ac[0], 1e-12);
 
-    // biased-peak selection (first max, matching jnp.argmax tie-breaking)
-    int k0 = 0;
-    double best = -1e300;
-    for (int k = 0; k <= span; ++k) {
-      const double v = ac[lag_min + k] / ac0;
-      if (v > best) {
-        best = v;
-        k0 = k;
-      }
-    }
     auto debiased = [&](int k) {
       return ac[lag_min + k] / ac0 / wac[lag_min + k];
     };
+    // YIN-style CMND selection over the de-biased autocorrelation: first
+    // dip below max(0.2, 1.25 * frame min), walked to its local minimum;
+    // global argmin as the no-dip fallback. Kept in exact lockstep with
+    // ops/f0.py estimate_f0 — see there for the measured rationale (the
+    // old biased argmax picked the zero-lag shoulder over
+    // taper-suppressed low-F0 peaks whenever the search range was wide).
+    int k0 = 0;
+    {
+      std::vector<double> cm(span + 1);
+      double cum = 0.0, best = 1e300;
+      for (int tau = 1; tau <= lag_max; ++tau) {
+        const double ru = ac[tau] / ac0 / wac[tau];
+        const double d = std::max(1.0 - ru, 1e-6);
+        cum += d;
+        if (tau >= lag_min) {
+          const double c = d * tau / std::max(cum, 1e-9);
+          cm[tau - lag_min] = c;
+          if (c < best) {
+            best = c;
+            k0 = tau - lag_min;
+          }
+        }
+      }
+      // threshold relative to the frame's own global min (>= 0.2): the
+      // first dip within 1.25x of the min, walked to its local minimum
+      const double theta = std::max(best * 1.25, 0.2);
+      int first_below = -1;
+      for (int j = 0; j <= span; ++j) {
+        if (cm[j] < theta) {
+          first_below = j;
+          break;
+        }
+      }
+      if (first_below >= 0) {
+        int j = first_below;
+        while (j < span && cm[j + 1] < cm[j]) ++j;
+        k0 = j;
+      }
+    }
     // de-biased re-maximization around j0 + parabolic refinement — the
     // refine() helper of ops/f0.py
     auto refine = [&](int j0, int window, int* j_out, double* v_out,

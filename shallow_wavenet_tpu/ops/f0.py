@@ -51,7 +51,7 @@ def estimate_f0(x, sample_rate: int, hop_length: int, win_length: int = 0,
     if win_length == 0:
         win_length = int(2.5 * sample_rate / f0_min)
         win_length += win_length % 2
-    lag_min = int(sample_rate / f0_max)
+    lag_min = max(int(sample_rate / f0_max), 1)
     lag_max = int(np.ceil(sample_rate / f0_min))
     n_fft = int(2 ** np.ceil(np.log2(win_length + lag_max + 1)))
 
@@ -60,16 +60,53 @@ def estimate_f0(x, sample_rate: int, hop_length: int, win_length: int = 0,
     win_np = np.hanning(win_length + 1)[:-1].astype(np.float32)
     win = jnp.asarray(win_np)
     ac = _norm_autocorr(frames * win, n_fft)
-    # peak SELECTION on the biased (tapered) autocorrelation — stable, no
-    # subharmonic inflation; peak REFINEMENT on the window-de-biased values,
-    # which removes the taper's slope at the peak (the ~2% low-F0 bias)
+    # REFINEMENT happens on the window-de-biased values, which removes the
+    # taper's slope at the peak (the ~2% low-F0 bias)
     wac = np.fft.irfft(np.abs(np.fft.rfft(win_np, n_fft)) ** 2, n_fft)
     wac = np.maximum((wac / wac[0]).astype(np.float32), 1e-3)
     ac_u = ac / jnp.asarray(wac)
 
-    lags = ac[..., lag_min : lag_max + 1]
     lags_u = ac_u[..., lag_min : lag_max + 1]
     span = lag_max - lag_min
+
+    # peak SELECTION: YIN-style cumulative-mean-normalized difference
+    # (CMND) of the DE-BIASED autocorrelation. Plain biased-argmax fails
+    # two ways at the range edges: (a) the zero-lag shoulder leaks into
+    # the search window when f0_max is high (lag_min small), so any smooth
+    # frame "detects" a near-f0_max pitch; (b) the taper suppresses the
+    # true peak of low-F0 frames (hann window autocorr is ~0.47 at
+    # lag = win/3) below the shoulder values. Measured failure: a 60 Hz
+    # harmonic frame under a 50-600 Hz range picked lag 26 (575 Hz,
+    # biased 0.495) over the true lag 267 (biased 0.455, de-biased 0.967).
+    # CMND's running-mean normalization cancels the shoulder exactly (its
+    # cumulative mean is as large as the values themselves) while dips at
+    # the true period stay deep. de Cheveigne & Kawahara 2002, eq. 8.
+    d = jnp.maximum(1.0 - ac_u[..., 1 : lag_max + 1], 1e-6)
+    tau = jnp.arange(1, lag_max + 1, dtype=jnp.float32)
+    cmnd = d * tau / jnp.maximum(jnp.cumsum(d, axis=-1), 1e-9)
+    cmnd_sl = cmnd[..., lag_min - 1 :]
+    # YIN step 4, with a RELATIVE threshold: take the FIRST lag dipping
+    # below max(0.2, 1.25 * the frame's global CMND min) and walk forward
+    # to that dip's local minimum. First-dip, not global argmin: under
+    # additive noise the global min drifts to a subharmonic multiple whose
+    # dip is marginally deeper (measured: 4 exact octave-down frames at
+    # 10 dB SNR). Local minimum, not the crossing itself: the dip's
+    # shoulder sits several samples short of the true period (measured
+    # +9% on pure tones). Relative, not fixed-absolute: noisy glide
+    # frames have no dip under any fixed value, and the period dip is
+    # within 1.25x of the subharmonic's whenever the latter only wins by
+    # noise margin. Global argmin remains the no-dip fallback.
+    theta = jnp.maximum(jnp.min(cmnd_sl, axis=-1, keepdims=True) * 1.25,
+                        0.2)
+    below = cmnd_sl < theta
+    i0 = jnp.argmax(below, axis=-1)
+    nondec = cmnd_sl[..., 1:] >= cmnd_sl[..., :-1]
+    stop = jnp.concatenate(
+        [nondec, jnp.ones_like(nondec[..., :1])], axis=-1)
+    idx = jnp.arange(cmnd_sl.shape[-1])
+    j_loc = jnp.argmax(stop & (idx >= i0[..., None]), axis=-1)
+    k_sel = jnp.where(jnp.any(below, axis=-1), j_loc,
+                      jnp.argmin(cmnd_sl, axis=-1))
 
     def refine(j0, window=3):
         """Re-maximize the de-biased values in a +-window around j0 (the
@@ -89,7 +126,7 @@ def estimate_f0(x, sample_rate: int, hop_length: int, win_length: int = 0,
                           0.5 * (jm1 - jp1) / denom, 0.0)
         return j, v, jnp.clip(delta, -0.5, 0.5)
 
-    k, peak, delta = refine(jnp.argmax(lags, axis=-1))
+    k, peak, delta = refine(k_sel)
     lag = lag_min + k.astype(jnp.float32) + delta
     # octave/subharmonic guard: the autocorrelation also peaks at integer
     # MULTIPLES of the true period, so the global max can land an octave

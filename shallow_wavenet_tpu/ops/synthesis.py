@@ -129,13 +129,25 @@ def excitation_multiband(f0, vuv, bap, key, sample_rate: int, hop: int,
 
 def world_synthesis(feats, key, sample_rate: int, hop: int,
                     mcep_order: int, alpha: float, t_len: int = 0,
-                    per_band: bool = True, n_bap: int = 0):
+                    per_band: bool = True, n_bap: int = 0,
+                    peak_norm: bool = False):
     """Synthesize a waveform from one utterance's `world` feature matrix
     (n_frames, 2 + mcep_order+1 + n_bap) as written by feature_extract:
     columns [log-F0 | vuv | mcep.. | bap..]. Features must be
     UN-normalized. Pass n_bap explicitly when the matrix carries trailing
     extra channels (data.energy_feature); 0 = every remaining column is
-    bap. Returns (T,) float32 in [-1, 1]."""
+    bap. Returns (T,) float32 in [-1, 1].
+
+    peak_norm: the phase-coherent pulse excitation has a much higher crest
+    factor than the natural waveform it re-synthesizes, so a loud low-F0
+    utterance can overshoot [-1, 1] on a large fraction of samples; the
+    default hard clip then shears the pulses off and the resynthesized
+    PITCH itself becomes unmeasurable (measured: 41% clipped samples and
+    octave-wrecked F0 on a 90 Hz utterance of the wide-F0 corpus). True
+    rescales by the peak instead of clipping — distortion-free at a level
+    offset, which MCD (m>=1 coefficients) ignores. Use for oracle/
+    measurement synthesis (tools/pitch_eval.py); default stays clip so
+    the dated oracle-floor baselines keep their exact definition."""
     feats = jnp.asarray(feats, jnp.float32)
     lf0, vuv = feats[:, 0], feats[:, 1]
     mc = feats[:, 2:2 + mcep_order + 1]
@@ -150,4 +162,6 @@ def world_synthesis(feats, key, sample_rate: int, hop: int,
         exc = excitation(f0, vuv, ap, key, sample_rate, hop, t_len)
     b = mc2b(mc, alpha)
     y = mlsa_filter_tv(exc, b, alpha, hop)
+    if peak_norm:
+        return y / jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
     return jnp.clip(y, -1.0, 1.0)

@@ -13,7 +13,11 @@ while pgrep -x python -a | grep -q "r5_deep_world_energy"; do sleep 30; done
 # conditioned shallow config, decode at factors 1.0/0.7/1.3, measure ----
 PW=/root/runs/r5_pitch
 CONF=egs/synthetic/shallow_laplace_ns/conf/config.json
-OV="data.feature_type=world model.aux_channels=31 data.sample_rate=16000"
+# envelope_smoothing is LOAD-BEARING for pitch control: the unsmoothed
+# mcep envelope of dense synthetic harmonics carries the original F0 as
+# comb ripple and re-imposes it on transposed excitation (measured on the
+# transposed oracle — see tools/pitch_eval.py docstring)
+OV="data.feature_type=world model.aux_channels=31 data.sample_rate=16000 data.envelope_smoothing=true"
 timeout 3000 python -m shallow_wavenet_tpu.bin.run --config $CONF \
   --workdir $PW --stage 4 --stop-stage 6 train.steps=60000 $OV
 for F in 0.7 1.3; do
