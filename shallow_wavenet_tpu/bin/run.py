@@ -48,8 +48,8 @@ def main(argv=None):
                         "seed gives genuinely different utterances, e.g. "
                         "as the target data of an --init-from fine-tune")
     p.add_argument("--corpus-style", default="harmonic",
-                   choices=("harmonic", "speechlike"),
-                   help="synthetic-corpus style (stage 0): 'speechlike' "
+                   choices=("harmonic", "speechlike", "formant"),
+                   help="synthetic-corpus style (stage 0): 'speechlike' / 'formant' "
                         "adds F0 glides, unvoiced bursts and silence")
     p.add_argument("--corpus-f0-range", default=None,
                    help="speechlike corpus F0 span as 'LO,HI' Hz (stage "

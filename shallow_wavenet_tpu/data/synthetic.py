@@ -41,6 +41,7 @@ def synth_utterance_speechlike(seed: int, sample_rate: int,
                                duration_s: float = 1.0,
                                f0_range: tuple[float, float] = (90.0, 240.0),
                                f0_clip: tuple[float, float] = (80.0, 300.0),
+                               formant_envelope: bool = False,
                                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Harder, speech-shaped test signal (VERDICT r1 item 4): alternating
     voiced stretches (harmonics with F0 GLIDES), unvoiced fricative-like
@@ -52,7 +53,19 @@ def synth_utterance_speechlike(seed: int, sample_rate: int,
     clipped to f0_clip. The defaults reproduce the round-2..4 corpora
     bit-for-bit (same RNG call sequence); a wide range (e.g. 80-340 Hz)
     is the pitch-control training corpus of VERDICT r4 item 2 — keep
-    extraction f0_min/f0_max covering [0.9*lo, 1.15*hi]."""
+    extraction f0_min/f0_max covering [0.9*lo, 1.15*hi].
+
+    formant_envelope=False weights harmonic k by decay**(k-1) — a
+    function of HARMONIC INDEX, so the spectral envelope's shape in Hz
+    scales with F0 and envelope tilt alone predicts pitch (a vocoder
+    conditioned on mcep can then ignore the lf0 channel entirely,
+    measured in the r5 pitch-transposition runs). True instead samples
+    2-3 random FIXED-frequency formant resonances per voiced segment and
+    weights each harmonic by the envelope at its instantaneous absolute
+    frequency H(k*f0(t)) — real speech's source-filter independence, so
+    across the corpus mcep carries no pitch information and lf0 is the
+    only pitch cue. Default False keeps the historical corpora
+    bit-for-bit."""
     rng = np.random.default_rng(seed)
     n = int(sample_rate * duration_s)
     wav = np.zeros(n, np.float64)
@@ -74,9 +87,31 @@ def synth_utterance_speechlike(seed: int, sample_rate: int,
             x = np.zeros(t1 - t0)
             n_harm = min(int((sample_rate / 2 - 200) / fb), 18)
             decay = rng.uniform(0.5, 0.85)
-            for k in range(1, max(n_harm, 1) + 1):
-                x += (decay ** (k - 1) * rng.uniform(0.5, 1.0)
-                      * np.sin(k * phase + rng.uniform(0, 2 * np.pi)))
+            if formant_envelope:
+                # 2-3 Gaussian resonances at F0-independent absolute
+                # frequencies + a gentle spectral tilt; each harmonic's
+                # amplitude follows the envelope at its own time-varying
+                # frequency k*f0(t)
+                n_form = rng.integers(2, 4)
+                lo_c = np.array([250.0, 900.0, 2000.0])[:n_form]
+                hi_c = np.array([900.0, 2200.0, 3600.0])[:n_form]
+                centers = rng.uniform(lo_c, hi_c)
+                bws = rng.uniform(120.0, 400.0, n_form)
+                gains = rng.uniform(0.4, 1.0, n_form)
+                tilt = rng.uniform(1e-4, 4e-4)
+
+                def h_env(freq):
+                    e = sum(g * np.exp(-0.5 * ((freq - c) / b) ** 2)
+                            for g, c, b in zip(gains, centers, bws))
+                    return (e + 0.05) * np.exp(-tilt * freq)
+
+                for k in range(1, max(n_harm, 1) + 1):
+                    x += (h_env(k * f0)
+                          * np.sin(k * phase + rng.uniform(0, 2 * np.pi)))
+            else:
+                for k in range(1, max(n_harm, 1) + 1):
+                    x += (decay ** (k - 1) * rng.uniform(0.5, 1.0)
+                          * np.sin(k * phase + rng.uniform(0, 2 * np.pi)))
             # onset/offset ramps (no clicks) + slow amplitude movement
             env = np.minimum(1.0, np.minimum(seg, seg[-1] - seg)
                              / 0.012)
@@ -111,7 +146,10 @@ def make_corpus(root: str | Path, *, n_train: int = 8, n_eval: int = 2,
     """Write wavs + scp file lists under `root`. Returns {'train': [...],
     'eval': [...]} wav paths. Speaker id is seed % n_speakers (encoded in
     the filename `spkN_uttM.wav`). style='speechlike' writes the harder
-    glide/burst/silence corpus of synth_utterance_speechlike.
+    glide/burst/silence corpus of synth_utterance_speechlike;
+    style='formant' is the same corpus with F0-independent formant
+    envelopes (source-filter independence — the pitch-control training
+    corpus; see synth_utterance_speechlike).
 
     f0_range (speechlike only): overall F0 span of the corpus. None keeps
     the historical default (90-240 Hz, bit-identical RNG stream). With
@@ -137,9 +175,10 @@ def make_corpus(root: str | Path, *, n_train: int = 8, n_eval: int = 2,
         paths = []
         for _ in range(count):
             spk = idx % n_speakers
-            if style == "speechlike":
+            if style in ("speechlike", "formant"):
                 wav, _, _ = synth_utterance_speechlike(
-                    seed + idx, sample_rate, duration_s, **spk_f0(spk))
+                    seed + idx, sample_rate, duration_s,
+                    formant_envelope=(style == "formant"), **spk_f0(spk))
             else:
                 wav = synth_utterance(seed + idx, sample_rate, duration_s)
             # stem is unique ACROSS splits: feature files are keyed by stem

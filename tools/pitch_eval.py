@@ -47,7 +47,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
+
+# CPU is ample for the measurement chain (feature extraction, F0
+# estimation, classical synthesis) and keeps this tool off the chip while
+# TPU training/serving jobs hold it
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402
 
 
 def median_f0(wav, sr, hop, f0_min=50.0, f0_max=600.0):
