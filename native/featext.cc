@@ -267,8 +267,10 @@ void swt_f0_estimate(const float* x, int64_t t, double sample_rate, int hop,
   }
 
   // temporal continuity repair — _correct_outliers of ops/f0.py: 5-frame
-  // median with unvoiced neighbors replaced by the center value (edge
-  // padding = index clamp); voiced frames deviating > 18% take the median
+  // median with unvoiced neighbors replaced by the center value; REFLECT
+  // padding (edge-clamp let frame 0 fill 3 of its own 5 slots, so an
+  // octave error at a voiced utterance start self-confirmed — see the
+  // ops/f0.py docstring); voiced frames deviating > 18% take the median
   for (int64_t f = 0; f < n_frames; ++f) {
     if (out_vuv[f] == 0.0f) {
       out_f0[f] = 0.0f;
@@ -276,8 +278,12 @@ void swt_f0_estimate(const float* x, int64_t t, double sample_rate, int hop,
     }
     double wv[5];
     for (int o = -2; o <= 2; ++o) {
-      const int64_t j =
-          std::min(std::max<int64_t>(f + o, 0), n_frames - 1);
+      int64_t j = f + o;
+      if (n_frames >= 3) {
+        if (j < 0) j = -j;
+        if (j > n_frames - 1) j = 2 * (n_frames - 1) - j;
+      }
+      j = std::min(std::max<int64_t>(j, 0), n_frames - 1);
       wv[o + 2] = out_vuv[j] > 0.0f ? f0_raw[j] : f0_raw[f];
     }
     // median of 5 by partial sort

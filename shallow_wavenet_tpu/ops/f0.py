@@ -156,11 +156,18 @@ def _correct_outliers(f0, vuv):
     frames straddling a transition) is replaced BY that median; accurate
     frames pass through untouched, so fine accuracy is unchanged. Unvoiced
     neighbors are excluded from the median (substituted by the center
-    value)."""
+    value).
+
+    Padding is REFLECT, not edge: edge padding lets frame 0 (or n-1)
+    fill 3 of its own 5 window slots, so an octave error on an utterance
+    that starts voiced self-confirms and survives the repair (measured on
+    the formant corpus, seed 6: frame 0 read F0/2 at ratio 0.498 while
+    frames 1.. were correct). Keep in sync with native/featext.cc."""
     n = f0.shape[-1]
     pad = [(0, 0)] * (f0.ndim - 1) + [(2, 2)]
-    fpad = jnp.pad(f0, pad, mode="edge")
-    vpad = jnp.pad(vuv, pad, mode="edge")
+    mode = "reflect" if n >= 3 else "edge"
+    fpad = jnp.pad(f0, pad, mode=mode)
+    vpad = jnp.pad(vuv, pad, mode=mode)
     idx = np.arange(n)[:, None] + np.arange(5)[None, :]
     w = fpad[..., idx]                      # (..., n, 5)
     wv = vpad[..., idx]

@@ -95,17 +95,20 @@ def _frame_truth(f0t, voiced, n_frames, hop=HOP):
     return gt_f0, gt_v
 
 
-def _accuracy(stress):
+def _accuracy(stress, f0_kw=None, est_kw=None):
     """(gross_rate, n_suboctave, rmse_cents) of estimate_f0 against the
-    speech-like corpus ground truth under the given per-wav stress fn."""
+    speech-like corpus ground truth under the given per-wav stress fn.
+    f0_kw forwards to synth_utterance_speechlike (corpus variants:
+    formant_envelope, f0_range/f0_clip); est_kw to estimate_f0."""
     from shallow_wavenet_tpu.data.synthetic import synth_utterance_speechlike
 
     gross = n = sub = 0
     cents_all = []
     for seed in range(8):
-        wav, f0t, voiced = synth_utterance_speechlike(seed, SR, 2.0)
+        wav, f0t, voiced = synth_utterance_speechlike(seed, SR, 2.0,
+                                                      **(f0_kw or {}))
         wav = stress(wav, voiced)
-        f0, vuv = estimate_f0(jnp.asarray(wav), SR, HOP)
+        f0, vuv = estimate_f0(jnp.asarray(wav), SR, HOP, **(est_kw or {}))
         f0, vuv = np.asarray(f0), np.asarray(vuv)
         nf = min(len(f0), len(f0t) // HOP)
         gt_f0, gt_v = _frame_truth(f0t, voiced, nf)
@@ -129,6 +132,34 @@ def test_f0_accuracy_speechlike_ground_truth():
     gross, sub, rmse = _accuracy(lambda w, v: w)
     assert gross < 0.05, gross
     assert rmse < 25.0, rmse
+    assert sub == 0, sub
+
+
+def test_f0_accuracy_formant_corpus():
+    """The formant-envelope corpus (style='formant' — the r5 pitch-control
+    training corpus, F0-independent spectral envelopes) must track as
+    accurately as the index-weighted corpus: formant nulls can nearly
+    silence individual harmonics including the fundamental, which is the
+    regime the CMND lag selection + octave guard exist for."""
+    gross, sub, rmse = _accuracy(lambda w, v: w,
+                                 f0_kw={"formant_envelope": True})
+    assert gross < 0.05, gross
+    assert rmse < 25.0, rmse
+    assert sub == 0, sub
+
+
+def test_f0_accuracy_wide_range_corpus():
+    """The wide-F0 pitch-control corpus (80-340 Hz speaker span, VERDICT
+    r4 item 2) with extraction bounds widened per the make_corpus
+    guidance (f0_min <= 0.9*lo, f0_max >= 1.15*hi): accuracy must hold
+    across the full span, not just the historical 90-240 Hz band."""
+    gross, sub, rmse = _accuracy(
+        lambda w, v: w,
+        f0_kw={"formant_envelope": True, "f0_range": (80.0, 340.0),
+               "f0_clip": (72.0, 391.0)},
+        est_kw={"f0_min": 65.0, "f0_max": 450.0})
+    assert gross < 0.05, gross
+    assert rmse < 30.0, rmse
     assert sub == 0, sub
 
 

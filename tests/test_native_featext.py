@@ -146,6 +146,35 @@ def test_energy_feature_parity_and_floor(tmp_path):
     np.testing.assert_array_equal(f_mel[:, -1], feats_jax[:, -1])
 
 
+def test_energy_frame_centering():
+    """frame_log_energy frames are CENTERED at i*hop like every other
+    analyzer (stft/mcep/f0, center=True) — the original hop-partition
+    framing led the conditioning by hop/2 and measurably regressed the
+    r5 deep run (1.5 dB MCD, VUV errors at voiced transitions; see
+    ops/energy.py). A burst placed just BEFORE sample i*hop must land in
+    frame i (centered window [i*hop - hop/2, i*hop + hop/2)), where the
+    partition framing would put it in frame i-1."""
+    import math
+
+    from shallow_wavenet_tpu.ops.energy import ENERGY_FLOOR, frame_log_energy
+
+    hop = 320
+    wav = np.zeros(10 * hop, np.float32)
+    wav[5 * hop - 100:5 * hop - 50] = 1.0
+    e = frame_log_energy(wav, hop)[:, 0]
+    assert e.shape == (10,)
+    assert int(np.argmax(e)) == 5
+    floor = np.float32(math.log(ENERGY_FLOOR))
+    # frames whose centered window lies fully in digital silence read the
+    # exact floor constant (the silence sentinel the model conditions on)
+    assert np.all(e[7:] == floor)
+    assert np.all(e[:4] == floor)
+    # edge frames: first/last windows are edge-padded, never out-of-bounds
+    wav2 = np.ones(4 * hop, np.float32)
+    e2 = frame_log_energy(wav2, hop)[:, 0]
+    assert np.allclose(e2, 0.0, atol=1e-6)   # log RMS of all-ones = 0
+
+
 def test_f0_native_matches_jax_on_stressed_signal():
     """The octave-guard + continuity-repair paths must also agree: a
     high-passed speech-like signal (missing fundamental) drives both
