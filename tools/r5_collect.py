@@ -62,7 +62,7 @@ def main() -> None:
         print(f"[roofline {rf.stem.replace('r5_roofline_', '')}] "
               + json.dumps(d, separators=(",", ":"))[:400])
 
-    for logname in ("r5_pool8.log", "r5_bench.log"):
+    for logname in ("r5_pool8.log", "r5_pool4.log", "r5_bench.log"):
         p = root / logname
         if p.exists():
             lines = [ln for ln in p.read_text().splitlines() if ln.strip()]
