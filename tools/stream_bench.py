@@ -113,9 +113,16 @@ def main_pool():
         print("no steady-state cycles measured (raise n_cycles past the "
               "warmup skip)")
     if len(lat_tail):
+        # the FIRST stream tail compiles the pooled tail program (one-time,
+        # cached for the process); report it separately so the recurring
+        # per-tail cost is visible (r5: mean-excl-max ~62-71 ms ~= 2x the
+        # steady-state cycle, vs the r4 per-tail host path's 518-543 ms)
+        excl = (f"  mean excl max {np.delete(lat_tail, lat_tail.argmax()).mean():.1f}"
+                f"  p50 {np.percentile(lat_tail, 50):.1f}"
+                if len(lat_tail) > 1 else "")
         print(f"tail-containing cycle latency ms (pooled tail dispatch + "
               f"that cycle's steady dispatches): mean {lat_tail.mean():.1f}"
-              f"  max {lat_tail.max():.1f}")
+              f"  max {lat_tail.max():.1f}{excl}")
     wall = (lat.sum() + lat_tail.sum()) / 1e3
     agg = (measured / dc.sample_rate) / (wall + 1e-9)
     print(f"aggregate (incl. tails): {agg:.1f} audio-s/s "

@@ -100,13 +100,21 @@ def padded_flops(g) -> int:
     return sum(2 * M * up(K) * up(N) for _, M, K, N in g)
 
 
+def _sync(out):
+    # block_until_ready does NOT reliably wait on the axon tunnel backend
+    # (measured 2026-08-22: fwd-only "0.07 ms" = 457% MFU); force a
+    # device->host transfer of one leaf — the program must complete for
+    # any of its outputs to materialize.
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+
 def time_fn(fn, *args, n=20, sync=None):
     out = fn(*args)
-    (sync or (lambda o: jax.block_until_ready(o)))(out)
+    (sync or _sync)(out)
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-    (sync or (lambda o: jax.block_until_ready(o)))(out)
+    (sync or _sync)(out)
     return (time.time() - t0) / n
 
 
@@ -169,9 +177,18 @@ def main():
     grad_j = jax.jit(lambda p, bb: jax.value_and_grad(tr._loss_fn)(p, bb))
     t_fwd = time_fn(loss_j, state.params, b)
     t_fb = time_fn(grad_j, state.params, b)
-    st2, _ = tr.step_fn(state, b)      # step donates -> keep a fresh state
-    t_step = time_fn(lambda s: tr.step_fn(s, b)[1]["loss"], st2,
-                     sync=lambda o: np.asarray(o))
+    # step_fn DONATES its input state (argnum 0): replaying one captured
+    # state through time_fn works on CPU, where donation is a no-op, but
+    # is an InvalidArgument on TPU (the buffers are deleted after the
+    # first call). Thread the state through the timing loop instead.
+    st2, m = tr.step_fn(state, b)      # warmup (donates `state`)
+    np.asarray(m["loss"])
+    n_it = 20
+    t0 = time.time()
+    for _ in range(n_it):
+        st2, m = tr.step_fn(st2, b)
+    np.asarray(m["loss"])
+    t_step = (time.time() - t0) / n_it
     rows = [("fwd only", t_fwd, fwd_f),
             ("fwd+bwd", t_fb, step_f),
             ("full step", t_step, step_f)]
