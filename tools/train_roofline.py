@@ -47,6 +47,7 @@ from shallow_wavenet_tpu.config import get_config  # noqa: E402
 from shallow_wavenet_tpu.training import Trainer  # noqa: E402
 
 V5E_PEAK = 197e12   # bf16 MXU peak (public v5e spec)
+V5E_HBM = 819e9     # HBM bandwidth (public v5e spec), bytes/s
 LANE = 128          # MXU depth / lane tile
 
 
@@ -98,6 +99,19 @@ def padded_flops(g) -> int:
     it. M rides the sublane axis (8) and is huge here; ignored."""
     up = lambda x: -(-x // LANE) * LANE  # noqa: E731
     return sum(2 * M * up(K) * up(N) for _, M, K, N in g)
+
+
+def gemm_bytes(g) -> int:
+    """Minimum bf16 HBM traffic of the GEMM list: activations in + out per
+    GEMM (weights are negligible at these M). With M >> K, N the
+    arithmetic intensity is ~K*N/(K+N) FLOP/byte — at the shallow stack's
+    K=64/N=128 that is ~43, far below the ~240 needed to reach the v5e
+    MXU peak from HBM, so the TRAINING step is bandwidth-bound and the
+    HBM roofline, not the 197 TFLOP/s flat peak, is the honest ceiling.
+    Perfect fusion would elide some inter-GEMM round trips; this counts
+    each GEMM's in+out, so the derived ceiling is approximate to the
+    extent XLA fuses producers into consumers."""
+    return sum(2 * (M * K + K * N + M * N) for _, M, K, N in g)
 
 
 def _sync(out):
@@ -163,6 +177,13 @@ def main():
     print(f"lane-padded fwd FLOPs {pad_f / 1e9:.2f} GF "
           f"(x{pad_f / fwd_f:.2f} — padded-peak ceiling "
           f"{V5E_PEAK * fwd_f / pad_f / 1e12:.0f} TFLOP/s)")
+    byt = gemm_bytes(g)
+    ai = fwd_f / byt
+    bw_tput = min(ai * V5E_HBM, V5E_PEAK)
+    print(f"fwd GEMM bytes {byt / 1e9:.2f} GB -> arithmetic intensity "
+          f"{ai:.1f} FLOP/B; HBM roofline {bw_tput / 1e12:.1f} TFLOP/s "
+          f"(= {bw_tput / V5E_PEAK * 100:.1f}% of MXU peak) — the "
+          f"bandwidth-bound ceiling for these shapes")
     try:
         ca = tr.step_fn.lower(state, b).compile().cost_analysis()
         xf = float(ca["flops"]) * max(1, accum)
@@ -241,6 +262,12 @@ def main():
                 "mfu_step": step_f / t_step / V5E_PEAK,
                 "mfu_mimic": step_f / t_mim_step / V5E_PEAK,
                 "mfu_padded_ceiling": fwd_f / pad_f,
+                "fwd_gemm_bytes": byt,
+                "arithmetic_intensity": ai,
+                "bw_roofline_tflops": bw_tput / 1e12,
+                # step AI ~= fwd AI (bwd moves ~3x the bytes for 3x the
+                # FLOPs), so the step's BW ceiling is the same bw_tput
+                "frac_of_bw_roofline": (step_f / t_step) / bw_tput,
             }, f, indent=1)
 
 
