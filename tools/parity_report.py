@@ -52,7 +52,14 @@ def _mannwhitney(xs, ys):
 
 
 def main(path="PARITY_r3.jsonl"):
-    recs = [json.loads(l) for l in open(path) if l.strip()]
+    lines = [l.strip() for l in open(path) if l.strip()]
+    # exact-duplicate records are replays of one measurement, not
+    # independent samples (observed once, r5: a bit-identical seed-10
+    # line appeared twice); keep the first and say so
+    dups = len(lines) - len(dict.fromkeys(lines))
+    if dups:
+        print(f"WARNING: dropped {dups} exact-duplicate record(s)")
+    recs = [json.loads(l) for l in dict.fromkeys(lines)]
     deltas = {}
     jax_floors = {}      # head -> [(p, delta)]
     torch_floors = {}
