@@ -138,6 +138,20 @@ class TrainConfig:
     # per-microbatch cost instead of 4 x 3.9x). batch_size % grad_accum
     # must be 0
     grad_accum: int = 1
+    # AR-context span dropout (the pitch-binding lever; BASELINE.md r5
+    # pitch mechanism): with probability context_dropout per span, a
+    # span of the teacher-forced INPUT waveform is zeroed — the target
+    # is never masked, and eval/inference never drop. Spans at or above
+    # one pitch period (15 ms covers F0 >= ~67 Hz) remove the free
+    # periodicity signal from the AR context inside that span, so the
+    # only consistent pitch source the model can reduce loss with is
+    # the lf0 conditioning row — the gradient pressure that binds pitch
+    # to the conditioning, which teacher forcing otherwise removes.
+    # 0.0 (the default) leaves the training step byte-identical to the
+    # pre-knob trainer. Keyed off (seed, global step): deterministic and
+    # checkpoint-exact across resume.
+    context_dropout: float = 0.0
+    context_dropout_span_ms: float = 15.0
 
 
 @dataclass(frozen=True)

@@ -94,7 +94,27 @@ class Trainer:
         return state
 
     # ---- the step --------------------------------------------------------
-    def _loss_fn(self, params, batch):
+    def _context_dropout(self, x, key):
+        """Zero random spans of the waveform used as AR input.
+
+        Span length = train.context_dropout_span_ms; each span is dropped
+        i.i.d. with probability train.context_dropout. Only the INPUT copy
+        of the waveform is masked (the caller keeps the unmasked waveform
+        for targets), so the model is still supervised on real samples —
+        it just cannot read pitch/periodicity out of the masked context
+        and must take it from the conditioning instead.
+        """
+        cfg = self.cfg
+        t = x.shape[1]
+        span = max(1, int(round(cfg.train.context_dropout_span_ms
+                                * cfg.data.sample_rate / 1000.0)))
+        n_spans = -(-t // span)
+        keep = jax.random.bernoulli(
+            key, 1.0 - cfg.train.context_dropout, (x.shape[0], n_spans))
+        mask = jnp.repeat(keep, span, axis=1)[:, :t].astype(x.dtype)
+        return x * mask
+
+    def _loss_fn(self, params, batch, key=None):
         import chex
 
         cfg = self.cfg
@@ -106,11 +126,17 @@ class Trainer:
         chex.assert_equal(cond.shape[1] * self.cfg.data.hop_length, x.shape[1])
         chex.assert_equal(cond.shape[2], cfg.model.aux_channels)
         spk = batch.get("speaker") if cfg.model.n_speakers > 0 else None
+        # AR-context dropout masks the input copy only; key is None at
+        # eval (eval_loss) and when context_dropout == 0, leaving this
+        # path byte-identical to the knobless trainer
+        x_in_src = (self._context_dropout(x, key)
+                    if key is not None and cfg.train.context_dropout > 0.0
+                    else x)
         if cfg.model.head == "softmax":
-            q = mulaw_quantize(x, cfg.model.quantize_channels)
-            x_in, target = q[:, :-1], q[:, 1:]
+            x_in = mulaw_quantize(x_in_src, cfg.model.quantize_channels)[:, :-1]
+            target = mulaw_quantize(x, cfg.model.quantize_channels)[:, 1:]
         else:
-            x_in, target = x[:, :-1], x[:, 1:]
+            x_in, target = x_in_src[:, :-1], x[:, 1:]
         out = self.model.apply({"params": params}, x_in, cond, spk)
         t = x_in.shape[1]
         seg = cfg.data.segment_length
@@ -125,9 +151,15 @@ class Trainer:
 
     def _step_core(self, state: TrainState, batch):
         accum = max(1, int(self.cfg.train.grad_accum))
+        # context-dropout key: (seed, global step) so the mask stream is
+        # deterministic and checkpoint-exact across resume; None when the
+        # knob is off (static branch — no RNG ops are traced at all)
+        key = (jax.random.fold_in(jax.random.key(self.cfg.train.seed),
+                                  state.step)
+               if self.cfg.train.context_dropout > 0.0 else None)
         if accum == 1:
             loss, grads = jax.value_and_grad(self._loss_fn)(state.params,
-                                                            batch)
+                                                            batch, key)
         else:
             # in-dispatch gradient accumulation: scan N microbatches of
             # B/N rows, mean the grads, ONE optimizer update — the same
@@ -142,15 +174,30 @@ class Trainer:
                 lambda v: v.reshape((accum, b // accum) + v.shape[1:]),
                 batch)
 
-            def body(carry, mb):
-                l_acc, g_acc = carry
-                l_i, g_i = jax.value_and_grad(self._loss_fn)(state.params,
-                                                             mb)
-                return (l_acc + l_i, jax.tree.map(jnp.add, g_acc, g_i)), None
-
             zeros = jax.tree.map(jnp.zeros_like, state.params)
-            (l_sum, g_sum), _ = jax.lax.scan(
-                body, (jnp.zeros((), jnp.float32), zeros), micro)
+            init = (jnp.zeros((), jnp.float32), zeros)
+            if key is None:
+                def body(carry, mb):
+                    l_acc, g_acc = carry
+                    l_i, g_i = jax.value_and_grad(self._loss_fn)(state.params,
+                                                                 mb)
+                    return (l_acc + l_i,
+                            jax.tree.map(jnp.add, g_acc, g_i)), None
+
+                (l_sum, g_sum), _ = jax.lax.scan(body, init, micro)
+            else:
+                # one sub-key per microbatch so masks differ across them
+                keys = jax.random.split(key, accum)
+
+                def body(carry, mb_key):
+                    mb, k = mb_key
+                    l_acc, g_acc = carry
+                    l_i, g_i = jax.value_and_grad(self._loss_fn)(state.params,
+                                                                 mb, k)
+                    return (l_acc + l_i,
+                            jax.tree.map(jnp.add, g_acc, g_i)), None
+
+                (l_sum, g_sum), _ = jax.lax.scan(body, init, (micro, keys))
             loss = l_sum / accum
             grads = jax.tree.map(lambda g: g / accum, g_sum)
         updates, opt_state = self.tx.update(grads, state.opt_state,

@@ -213,3 +213,112 @@ def test_grad_accum_indivisible_batch_raises():
     b.pop("speaker", None)
     with pytest.raises(ValueError, match="grad_accum"):
         tr.step_fn(state, b)
+
+
+def test_context_dropout_mask_structure():
+    """_context_dropout zeroes whole spans of the input copy: span-aligned,
+    rate-controlled, deterministic per key (config.py
+    train.context_dropout — the pitch-binding lever, BASELINE.md r5)."""
+    import dataclasses
+
+    cfg = tiny_train_cfg("laplace")
+    cfg.train = dataclasses.replace(cfg.train, context_dropout=0.5,
+                                    context_dropout_span_ms=10.0)
+    tr = Trainer(cfg)
+    x = jnp.ones((2, 1000), jnp.float32)
+    key = jax.random.key(7)
+    y = np.asarray(tr._context_dropout(x, key))
+    span = int(round(10.0 * cfg.data.sample_rate / 1000.0))  # 80 samples
+    assert set(np.unique(y).tolist()) <= {0.0, 1.0}
+    for b in range(2):
+        for s in range(0, 1000, span):
+            seg = y[b, s:s + span]
+            assert seg.min() == seg.max(), "mask must be constant per span"
+    assert 0.0 < y.mean() < 1.0, "rate 0.5 must drop some spans, keep some"
+    np.testing.assert_array_equal(y, np.asarray(tr._context_dropout(x, key)))
+
+
+def test_context_dropout_step_deterministic_and_distinct():
+    """The dropout key is (seed, global step): the same state must produce
+    a bit-identical step (checkpoint-exact resume), while rate>0 must
+    change the loss vs the knob-off trainer on the same batch."""
+    import dataclasses
+
+    cfg0 = tiny_train_cfg("laplace")
+    cfg1 = tiny_train_cfg("laplace")
+    cfg1.train = dataclasses.replace(cfg1.train, context_dropout=0.3,
+                                     context_dropout_span_ms=10.0)
+    tr0, tr1 = Trainer(cfg0), Trainer(cfg1)
+    # the head is zero-init (outputs are input-independent at step 0), so
+    # warm the params with a few real steps before comparing
+    sampler = make_sampler(cfg1)
+    state = tr1.init_state()
+    for _ in range(4):
+        wb = next(sampler)
+        wb.pop("speaker", None)
+        state, _ = tr1._step_core(state, wb)
+    b = next(sampler)
+    b.pop("speaker", None)
+    b = {k: jnp.asarray(v) for k, v in b.items()}
+    # eager _step_core (no donation) so the same state can be stepped twice
+    _, m_a = tr1._step_core(state, b)
+    _, m_b = tr1._step_core(state, b)
+    np.testing.assert_array_equal(np.asarray(m_a["loss"]),
+                                  np.asarray(m_b["loss"]))
+    # knob off, same params, same batch: dropout must move the loss
+    assert float(m_a["loss"]) != float(tr0._loss_fn(state.params, b))
+
+
+def test_context_dropout_full_mask_zeroes_input_only():
+    """rate=1.0 with one giant span zeroes the whole AR input but leaves
+    the targets untouched: the laplace loss must equal a hand-built loss
+    on a zeroed input with the ORIGINAL waveform's targets."""
+    import dataclasses
+
+    from shallow_wavenet_tpu.models import heads
+
+    cfg = tiny_train_cfg("laplace")
+    cfg.train = dataclasses.replace(cfg.train, context_dropout=1.0,
+                                    context_dropout_span_ms=1e6)
+    tr = Trainer(cfg)
+    sampler = make_sampler(cfg)
+    state = tr.init_state()
+    for _ in range(4):  # zero-init head: warm params so input matters
+        wb = next(sampler)
+        wb.pop("speaker", None)
+        state, _ = tr.step_fn(state, wb)
+    b = next(sampler)
+    b.pop("speaker", None)
+    x = jnp.asarray(b["x"])
+    cond = jnp.asarray(b["cond"])
+    loss = tr._loss_fn(state.params, {"x": x, "cond": cond},
+                       jax.random.key(0))
+    out = tr.model.apply({"params": state.params},
+                         jnp.zeros_like(x[:, :-1]), cond, None)
+    t = x.shape[1] - 1
+    mask = (jnp.arange(t) >= (t - cfg.data.segment_length)
+            ).astype(jnp.float32)[None, :]
+    expected = heads.laplace_loss(out, x[:, 1:], cfg.model.log_b_min,
+                                  cfg.model.log_b_max, mask)
+    np.testing.assert_allclose(float(loss), float(expected),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_context_dropout_grad_accum_smoke():
+    """grad_accum + context_dropout compose: per-microbatch sub-keys, one
+    update, finite loss, and training still steps."""
+    import dataclasses
+
+    cfg = tiny_train_cfg("laplace")
+    cfg.data = dataclasses.replace(cfg.data, batch_size=4)
+    cfg.train = dataclasses.replace(cfg.train, grad_accum=2,
+                                    context_dropout=0.3)
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    sampler = make_sampler(cfg)
+    for _ in range(3):
+        b = next(sampler)
+        b.pop("speaker", None)
+        state, m = tr.step_fn(state, b)
+        assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 3
