@@ -189,6 +189,7 @@ def test_egs_run_sh_shell_surface(tmp_path):
     literal form) drives stages 0-2 from its conf/config.json."""
     import os
     import subprocess
+    import sys
 
     repo = Path(__file__).resolve().parent.parent
     script = repo / "egs/synthetic/shallow_softmax_single/run.sh"
@@ -197,6 +198,10 @@ def test_egs_run_sh_shell_surface(tmp_path):
     env = {k: v for k, v in os.environ.items()
            if k not in ("PALLAS_AXON_POOL_IPS", "TPU_NAME")}
     env["JAX_PLATFORMS"] = "cpu"
+    # run.sh execs bare `python`: make sure it resolves to THIS
+    # interpreter (venv installs are not always on the caller's PATH)
+    env["PATH"] = (os.path.dirname(sys.executable) + os.pathsep
+                   + env.get("PATH", ""))
     r = subprocess.run(
         [str(script), "--workdir", str(tmp_path), "--stage", "0",
          "--stop_stage", "2", "--n_train", "2", "--n_eval", "1", *TINY],
