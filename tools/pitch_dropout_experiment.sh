@@ -17,8 +17,11 @@ OV="data.feature_type=world model.aux_channels=31 data.sample_rate=16000
     data.envelope_smoothing=true train.context_dropout=0.3
     train.context_dropout_span_ms=15"
 
+# --corpus-f0-range 80,340 reproduces the r5 negative's corpus exactly
+# (same generator seed + span), so this is a pure A/B on the dropout knob
 python -m shallow_wavenet_tpu.bin.run --config $CONF --workdir $PW \
   --corpus-style formant --n-train 24 --n-eval 3 \
+  --corpus-f0-range 80,340 \
   --stage 0 --stop-stage 6 train.steps=150000 $OV
 for F in 0.7 1.3; do
   T=$(echo $F | tr -d .)
