@@ -36,12 +36,16 @@ def show_mcd(root: Path, name: str) -> None:
 
 def main() -> None:
     root = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/runs")
-    for name in ("r5_deep_v2", "r5_pitch_fmt", "r5_multispk",
-                 "r5_ft_warm", "r5_ft_scratch"):
+    for name in ("r5_deep_v2", "r5_pitch_fmt", "pitch_dropout",
+                 "r5_multispk", "r5_ft_warm", "r5_ft_scratch"):
         show_mcd(root, name)
 
-    p = root / "r5_pitch_fmt150_eval.json"
-    if p.exists():
+    for p in (root / "r5_pitch_fmt150_eval.json",
+              root / "pitch_dropout" / "pitch_eval.json"):
+        if not p.exists():
+            print(f"[pitch {p.parent.name}/{p.name}]: MISSING")
+            continue
+        print(f"[pitch eval: {p}]")
         d = json.loads(p.read_text())
         for pair in d["pairs"]:
             rows = pair["rows"]
@@ -54,8 +58,6 @@ def main() -> None:
                       for r in rows if r["ratio"] is not None)
                   + (f"  | mean|err| {sum(errs)/len(errs):.1f}% "
                      f"worst {max(errs):.1f}%" if errs else "  (none)"))
-    else:
-        print("[pitch] eval json: MISSING")
 
     for rf in sorted(root.glob("r5_roofline_*.json")):
         d = json.loads(rf.read_text())
